@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship near-duplicate dedup+clustering slice on
+                 /root/testdata/sf0.001 (images derived deterministically
+                 from the documents table; full pipeline: featurize ->
+                 CP-LSH + MinHash + SimHash -> candidate pairs -> exact
+                 verify -> connected components).
+queries()      — operators from SURVEY.md §2 / §2.9 on the driver tables.
+oracle_sql()   — DuckDB-checkable ANSI SQL twins of each query.
 """
 
 from __future__ import annotations
@@ -15,24 +17,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: end-to-end dedup on sf0.001 -> (image_id, cluster_id)."""
+    from lsh_project_spark.config import PipelineConfig
+    from lsh_project_spark.pipeline import dedup_pipeline
+    from lsh_project_spark.sources.fixtures import images_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    images = images_from_documents(docs, seed=42)
+    return dedup_pipeline(images, PipelineConfig()).assignments
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lsh_project_spark.plans.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lsh_project_spark.plans import entry_queries
+
+    return entry_queries.oracle_sql()

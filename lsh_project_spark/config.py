@@ -1,0 +1,108 @@
+"""Frozen configuration dataclasses.
+
+The reference fixes its whole configuration in compile-time globals
+(/root/reference/src/main.cc:203-238: n=2^16, d=128, k=2, L=8,
+num_rotations=3, bulk=512, seeds 49628583 / PCG32(42,1337)).  We make the
+same knobs explicit, serializable config objects so they can be hashed into
+stage manifests and shipped to executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class CrossPolytopeConfig:
+    """Cross-polytope LSH parameters.
+
+    Mirrors the reference's knobs: ``d`` (src/main.cc:205-206), ``k``
+    hashes/table (src/main.cc:208), ``num_tables`` L (src/main.cc:238),
+    ``num_rotations`` (src/main.cc:238).  ``cldim`` = bits per sub-hash =
+    ceil(log2 d)+1 (src/lsh.c:331) is derived, not stored.
+    """
+
+    dim: int = 64
+    k: int = 2
+    num_tables: int = 8
+    num_rotations: int = 3
+    seed: int = 49628583  # reference's C++ seed, src/main.cc:20
+
+    @property
+    def cldim(self) -> int:
+        return (self.dim - 1).bit_length() + 1
+
+    @property
+    def hadamard_dim(self) -> int:
+        # reference truncates to the largest power of two <= d, src/lsh.c:112-113
+        return 1 << (self.dim.bit_length() - 1) if self.dim & (self.dim - 1) else self.dim
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """MinHash-over-shingles parameters (Broder '97; no reference analog —
+    mandated by the dedup graft)."""
+
+    shingle_size: int = 3  # word shingles
+    num_perm: int = 64
+    num_bands: int = 16  # rows_per_band = num_perm // num_bands
+    seed: int = 7206161
+    # Mersenne prime for the universal hash family h(x) = (a*x + b) mod p
+    prime: int = (1 << 61) - 1
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perm // self.num_bands
+
+
+@dataclass(frozen=True)
+class SimHashConfig:
+    """SimHash band hashing (Charikar '02)."""
+
+    num_bits: int = 64
+    num_bands: int = 8  # 8 bands x 8 bits
+    hamming_threshold: int = 3
+
+    @property
+    def bits_per_band(self) -> int:
+        return self.num_bits // self.num_bands
+
+
+@dataclass(frozen=True)
+class SubstringConfig:
+    """Suffix-array / winnowing substring-duplicate pass (Schleimer '03,
+    Lee et al. '22)."""
+
+    min_length: int = 50  # chars of exact common substring that count as dup
+    kgram: int = 20
+    seed: int = 991
+
+    @property
+    def window(self) -> int:
+        # winnowing guarantee: any common substring of >= min_length chars
+        # shares at least one selected fingerprint when w = min_length - kgram + 1
+        return self.min_length - self.kgram + 1
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end dedup pipeline configuration."""
+
+    cp: CrossPolytopeConfig = field(default_factory=CrossPolytopeConfig)
+    minhash: MinHashConfig = field(default_factory=MinHashConfig)
+    simhash: SimHashConfig = field(default_factory=SimHashConfig)
+    substring: SubstringConfig = field(default_factory=SubstringConfig)
+    # exact-verify thresholds
+    phash_hamming_threshold: int = 10
+    jaccard_threshold: float = 0.5
+    # skew control: buckets larger than this get salted pair generation,
+    # and per-bucket pair budget (see operators/candidates.py)
+    hot_bucket_threshold: int = 2000
+    max_pairs_per_bucket: int = 2_000_000
+
+    def config_hash(self) -> str:
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]

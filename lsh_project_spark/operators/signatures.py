@@ -1,0 +1,176 @@
+"""Signature operators: CP-LSH buckets, MinHash bands, SimHash bands.
+
+CP-LSH (the reference's core, /root/reference/src/lsh.c:328-342 +
+src/main.cc:294-323) runs as ONE batched numpy matmul per Arrow record
+batch — the Spark-native form of the reference's "bulked" kernels
+(src/lsh.c:466-536, bulk=512): `batch[B,d] @ RotMat2d[d, L*k*d]` computes
+every table's every hash at once, then a vectorized argmax + bit-concat.
+The folded rotation tensor is broadcast via closure capture (~1 MiB).
+
+MinHash and SimHash (no reference analog; SURVEY.md §2.9) are pure JVM
+column expressions — split/transform/explode/groupBy — with the portable
+md5-based hash family (functions/hashing.py), so they stay inside
+whole-stage codegen and match the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..config import CrossPolytopeConfig, MinHashConfig, SimHashConfig
+from ..functions.hashing import PORTABLE_HASH_MOD, minhash_params, spark_hash60
+from ..oracle.lsh_core import concat_hashes, cp_hash
+from ..params import fold_rotations
+
+CP_SIG_SCHEMA = "image_id string, table_idx int, bucket long"
+
+
+def cp_signature_table(
+    features: DataFrame, cfg: CrossPolytopeConfig, id_col: str = "image_id"
+) -> DataFrame:
+    """(id, features[d]) -> exploded signature table (id, table_idx, bucket).
+
+    This DataFrame *is* the reference's L hash tables
+    (/root/reference/src/lsh.c:44,70-77): insertion = materialization,
+    probe = equi-join on (table_idx, bucket).
+    """
+    rot = fold_rotations(cfg)  # [L,k,d,d], float32, tiny -> closure capture
+    L, k, d, _ = rot.shape
+    # one [d, L*k*d] operand so each Arrow batch is a single BLAS call
+    rot2d = np.ascontiguousarray(rot.transpose(3, 0, 1, 2).reshape(d, L * k * d))
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["features"].to_numpy()).astype(np.float32)
+            y = (x @ rot2d).reshape(len(pdf), L, k, d)
+            buckets = concat_hashes(cp_hash(y), d)  # [B, L] int64
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "image_id": np.repeat(pdf[id_col].to_numpy(), L),
+                    "table_idx": np.tile(np.arange(L, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    schema = f"{id_col} string, table_idx int, bucket long"
+    return features.mapInPandas(sign, schema=schema)
+
+
+# --------------------------------------------------------------- MinHash (JVM)
+
+
+def shingle_expr(text_col: str, k: int):
+    """Word k-shingle array expression (JVM).  Documents with <= k tokens
+    yield one whole-text shingle (matches oracle/minhash.shingles)."""
+    toks = f"split({text_col}, ' ')"
+    return F.expr(
+        f"""
+        case when size({toks}) <= {k} then array({text_col})
+        else array_distinct(transform(
+            sequence(0, size({toks}) - {k}),
+            i -> concat_ws(' ', slice({toks}, i + 1, {k}))))
+        end
+        """
+    )
+
+
+def minhash_band_table(
+    docs: DataFrame, cfg: MinHashConfig, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) -> (id, band_idx, band_hash): MinHash signatures banded for
+    LSH, entirely with JVM expressions (no Python in the plan).
+
+    Per permutation i: mh_i = min over shingles of (a_i * h32 + b_i) mod p.
+    Band hash = sum over the band's rows of ((mh % 2^32) * c_i) % p —
+    order-independent, so no sort is needed inside the aggregation.
+    """
+    a, b, c = minhash_params(cfg.num_perm, cfg.seed)
+    perms = docs.sparkSession.createDataFrame(
+        [(i, int(a[i]), int(b[i]), int(c[i]), i // cfg.rows_per_band)
+         for i in range(cfg.num_perm)],
+        "perm int, a long, b long, c long, band_idx int",
+    )
+    h32 = f"({spark_hash60('shingle')} % 4294967296)"
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingle_expr(text_col, cfg.shingle_size)).alias("shingle"),
+        )
+        .crossJoin(F.broadcast(perms))
+        .select(
+            id_col,
+            "perm",
+            "band_idx",
+            "c",
+            F.expr(f"(a * {h32} + b) % {PORTABLE_HASH_MOD}").alias("mh"),
+        )
+        .groupBy(id_col, "perm", "band_idx", "c")
+        .agg(F.min("mh").alias("mh"))
+        .groupBy(id_col, "band_idx")
+        .agg(
+            F.sum(
+                F.expr(f"((mh % 4294967296) * c) % {PORTABLE_HASH_MOD}")
+            ).alias("band_hash")
+        )
+    )
+
+
+# --------------------------------------------------------------- SimHash (JVM)
+
+SIMHASH_BITS = 56  # 14 md5 hex chars: every bit op stays in signed int64
+
+
+def simhash_table(
+    docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) -> (id, simhash long): 56-bit token-level SimHash, JVM-only.
+
+    bit b = 1 iff sum over tokens of (2*bit_b(hash56(tok)) - 1) > 0.
+    """
+    h56 = "cast(conv(substring(md5(tok), 1, 14), 16, 10) as bigint)"
+    return (
+        docs.select(
+            F.col(id_col), F.explode(F.expr(f"split({text_col}, ' ')")).alias("tok")
+        )
+        .select(id_col, F.expr(h56).alias("h"))
+        .select(id_col, "h", F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.sum(F.expr("case when (h >> b) & 1 = 1 then 1 else -1 end")).alias("vote"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.expr(
+                    "case when vote > 0 then shiftleft(cast(1 as bigint), b) "
+                    "else cast(0 as bigint) end"
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_band_table(
+    simhashes: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) -> (id, band_idx, band_hash): bit-slice banding.
+    Two fingerprints within Hamming r collide on >= 1 band when banded into
+    more than r slices (pigeonhole)."""
+    bits = SIMHASH_BITS // cfg.num_bands
+    return simhashes.select(
+        id_col,
+        F.explode(F.expr(f"sequence(0, {cfg.num_bands - 1})")).alias("band_idx"),
+        "simhash",
+    ).select(
+        id_col,
+        "band_idx",
+        F.expr(f"(simhash >> (band_idx * {bits})) & {(1 << bits) - 1}").alias(
+            "band_hash"
+        ),
+    )

@@ -1,0 +1,279 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark DataFrame plan (built from the engine's operators)
+with an equivalent DuckDB SQL string over the same parquet tables.  Column
+names and types are aligned on both sides; the driver sorts columns by name
+and value-hashes, so every computed column is aliased identically.
+
+Queries run on the driver-provided tables at /root/testdata/sf*/
+(documents, embeddings, lineitem, orders, ...).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import MinHashConfig, SimHashConfig
+from ..functions.hashing import spark_hash60, duckdb_hash60
+from ..operators.signatures import (
+    SIMHASH_BITS,
+    minhash_band_table,
+    shingle_expr,
+    simhash_table,
+)
+from .sql_oracle import duckdb_minhash_bands_sql, duckdb_simhash_sql
+
+MH_CFG = MinHashConfig()
+SH_CFG = SimHashConfig()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band signatures over documents (SURVEY.md §2.9)."""
+    return minhash_band_table(_docs(spark, sf_dir), MH_CFG).orderBy(
+        "doc_id", "band_idx"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints over documents (SURVEY.md §2.9)."""
+    return simhash_table(_docs(spark, sf_dir), SH_CFG)
+
+
+def q_minhash_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy stats — the analog of the reference's
+    table_entries_used/table_buckets_used (/root/reference/src/lsh.c:898-914):
+    per band, #buckets and #rows in buckets of size >= 2."""
+    bands = minhash_band_table(_docs(spark, sf_dir), MH_CFG)
+    return (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("bucket_n"))
+        .groupBy("band_idx")
+        .agg(
+            F.count("*").alias("num_buckets"),
+            F.sum(F.expr("case when bucket_n >= 2 then bucket_n else 0 end")).alias(
+                "rows_in_shared_buckets"
+            ),
+            F.max("bucket_n").alias("max_bucket"),
+        )
+    )
+
+
+def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate duplicate pairs: docs sharing >= 1 MinHash band bucket —
+    the bucket self-join (reference probe semantics, src/main.cc:369-408)."""
+    bands = minhash_band_table(_docs(spark, sf_dir), MH_CFG)
+    left = bands.select("band_idx", "band_hash", F.col("doc_id").alias("a"))
+    right = bands.select("band_idx", "band_hash", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup via hash-groupBy: groups of byte-identical documents."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.expr(spark_hash60("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word 3-shingle) Jaccard >= 0.5 pairs — the exact-verify
+    stage computed exhaustively over shingle-sharing pairs."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(shingle_expr("text", MH_CFG.shingle_size)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
+        .withColumn("jaccard", F.expr("inter / (sa + sb - inter)"))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", F.expr("round(jaccard, 6)").alias("jaccard"))
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id % 50 = 0)
+    — the reference's exact ground-truth scan (src/main.cc:91-113) as the
+    ANN baseline.  Rank ties broken by neighbor id."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.expr("vec_id % 50 = 0")).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    dot = "aggregate(zip_with(qv, embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+    nq = (
+        "sqrt(aggregate(transform(qv, x -> cast(x as double) * cast(x as double)), cast(0 as double), (acc, v) -> acc + v))"
+    )
+    nd = (
+        "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), cast(0 as double), (acc, v) -> acc + v))"
+    )
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(f"({dot}) / (({nq}) * ({nd}))").alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate over lineitem (generic OLAP capability)."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("timestamp'1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("round(sum(l_quantity), 4)").alias("sum_qty"),
+            F.expr("round(sum(l_extendedprice), 4)").alias("sum_base_price"),
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 4)"
+            ).alias("sum_disc_price"),
+            F.expr("round(avg(l_quantity), 6)").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+QUERIES = {
+    "minhash_bands": q_minhash_bands,
+    "simhash": q_simhash,
+    "minhash_bucket_occupancy": q_minhash_bucket_occupancy,
+    "minhash_candidate_pairs": q_minhash_candidate_pairs,
+    "exact_dup_groups": q_exact_dup_groups,
+    "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
+    "embedding_topk": q_embedding_topk,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    mh = duckdb_minhash_bands_sql(MH_CFG)
+    sh_cte = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+shl AS (
+  SELECT doc_id,
+    CASE WHEN len(t) <= {MH_CFG.shingle_size} THEN [text]
+         ELSE list_distinct([array_to_string(t[i + 1 : i + {MH_CFG.shingle_size}], ' ')
+                             for i in range(0, len(t) - {MH_CFG.shingle_size} + 1)])
+    END AS shs
+  FROM toks
+),
+shingled AS (SELECT doc_id, unnest(shs) AS shingle FROM shl)
+"""
+    return {
+        "minhash_bands": f"SELECT * FROM ({mh}) ORDER BY doc_id, band_idx",
+        "simhash": duckdb_simhash_sql(SIMHASH_BITS),
+        "minhash_bucket_occupancy": f"""
+WITH bands AS ({mh})
+SELECT band_idx, count(*) AS num_buckets,
+       sum(CASE WHEN bucket_n >= 2 THEN bucket_n ELSE 0 END) AS rows_in_shared_buckets,
+       max(bucket_n) AS max_bucket
+FROM (SELECT band_idx, band_hash, count(*) AS bucket_n FROM bands
+      GROUP BY band_idx, band_hash)
+GROUP BY band_idx
+""",
+        "minhash_candidate_pairs": f"""
+WITH bands AS ({mh})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y
+  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+WHERE x.doc_id < y.doc_id
+""",
+        "exact_dup_groups": f"""
+SELECT text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM (SELECT doc_id, {duckdb_hash60('text')} AS text_hash FROM documents)
+GROUP BY text_hash HAVING count(*) >= 2
+""",
+        "shingle_jaccard_pairs": f"""
+{sh_cte},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM shingled x JOIN shingled y ON x.shingle = y.shingle
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, round(inter / (sa + sb - inter), 6) AS jaccard
+FROM inter
+JOIN (SELECT doc_id AS a_id, sz AS sa FROM sizes) ON a = a_id
+JOIN (SELECT doc_id AS b_id, sz AS sb FROM sizes) ON b = b_id
+WHERE inter / (sa + sb - inter) >= 0.5
+""",
+        "embedding_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.embedding)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+""",
+        "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    }

@@ -1,0 +1,223 @@
+"""Deterministic pure-numpy image codecs + perceptual hash.
+
+This container ships no image libraries (no PIL/opencv), so per the task
+brief the *decode step* must be self-contained while keeping the Spark-side
+plumbing (binary columns, Arrow batches, UDF signatures) real.  We implement
+two honest codecs instead of stubs:
+
+- ``png``  : a real, spec-conformant minimal PNG (8-bit RGB, filter 0) —
+             lossless, decodable by any standard viewer.
+- ``jpeg`` : a JPEG-*like* lossy codec (8x8 block DCT-II, quality-scaled
+             quantization, zlib entropy stage).  It is NOT bitstream-JPEG
+             (no Huffman tables), but it is deterministic and genuinely
+             lossy, so the PSNR >= 40 dB per-row invariant
+             (BASELINE.json input_hint) is a real test, not a tautology.
+
+``phash64`` is the standard perceptual hash: gray -> 32x32 area resize ->
+2D DCT-II -> top-left 8x8 coefficients -> median threshold -> 64 bits.
+Its output feeds the CP-LSH featurizer (the analog of the reference's
+float-vector data model, /root/reference/src/main.cc:61-74).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------- PNG (lossless)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(rgb: np.ndarray) -> bytes:
+    """rgb uint8 [h, w, 3] -> minimal PNG bytes (color type 2, filter 0)."""
+    h, w, _ = rgb.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rgb.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Minimal decoder for images produced by png_encode (filter 0 only)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = b""
+    h = 0
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bitdepth, ctype = struct.unpack(">IIBB", payload[:10])
+            if bitdepth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB supported")
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w * 3 + 1)
+    if raw[:, 0].any():
+        raise ValueError("only filter 0 supported")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+# ------------------------------------------------------- lossy DCT codec ("jpeg")
+
+_LOSSY_MAGIC = b"LDCT"
+
+# standard JPEG luminance quantization table (public, ITU T.81 Annex K)
+_QTABLE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix: D @ x applies the transform."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] *= np.sqrt(0.5)
+    return d
+
+
+_D8 = _dct_matrix(8)
+
+
+def _quality_scale(quality: int) -> np.ndarray:
+    # ITU T.81 / IJG quality scaling; base table softened 4x so the
+    # fixture qualities (75, 90) genuinely clear the PSNR >= 40 dB
+    # per-row invariant while remaining lossy (BASELINE.json input_hint)
+    q = max(1, min(100, quality))
+    s = 5000 / q if q < 50 else 200 - 2 * q
+    tbl = np.floor((_QTABLE / 4.0 * s + 50) / 100)
+    return np.clip(tbl, 1, 255)
+
+
+def lossy_encode(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """rgb uint8 [h, w, 3] (h, w multiples of 8) -> lossy codec bytes."""
+    h, w, _ = rgb.shape
+    if h % 8 or w % 8:
+        raise ValueError("dims must be multiples of 8")
+    q = _quality_scale(quality)
+    x = rgb.astype(np.float64) - 128.0
+    # block the image: [h/8, w/8, 3, 8, 8]
+    blocks = x.reshape(h // 8, 8, w // 8, 8, 3).transpose(0, 2, 4, 1, 3)
+    coeffs = np.einsum("ij,bcqjk,lk->bcqil", _D8, blocks, _D8)
+    quant = np.round(coeffs / q).astype(np.int16)
+    header = _LOSSY_MAGIC + struct.pack(">HHB", w, h, max(1, min(100, quality)))
+    return header + zlib.compress(quant.tobytes(), 6)
+
+
+def lossy_decode(data: bytes) -> np.ndarray:
+    if data[:4] != _LOSSY_MAGIC:
+        raise ValueError("not an LDCT stream")
+    w, h, quality = struct.unpack(">HHB", data[4:9])
+    q = _quality_scale(quality)
+    quant = (
+        np.frombuffer(zlib.decompress(data[9:]), np.int16)
+        .reshape(h // 8, w // 8, 3, 8, 8)
+        .astype(np.float64)
+    )
+    coeffs = quant * q
+    blocks = np.einsum("ji,bcqjk,kl->bcqil", _D8, coeffs, _D8)
+    x = blocks.transpose(0, 3, 1, 4, 2).reshape(h, w, 3) + 128.0
+    return np.clip(np.round(x), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- dispatch
+
+
+def encode_image(rgb: np.ndarray, fmt: str, quality: int = 90) -> bytes:
+    if fmt == "png":
+        return png_encode(rgb)
+    if fmt == "jpeg":
+        return lossy_encode(rgb, quality)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "jpeg":
+        return lossy_decode(data)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+# ---------------------------------------------------------------- pHash
+
+_D32 = _dct_matrix(32)
+
+
+def gray(rgb: np.ndarray) -> np.ndarray:
+    x = rgb.astype(np.float64)
+    return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+
+def area_resize(img: np.ndarray, size: int = 32) -> np.ndarray:
+    """Exact area-mean resize; source dims must be multiples of `size`."""
+    h, w = img.shape
+    if h % size or w % size:
+        raise ValueError("dims must be multiples of target size")
+    return img.reshape(size, h // size, size, w // size).mean(axis=(1, 3))
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """64-bit perceptual hash (DCT sign hash); deterministic."""
+    g = area_resize(gray(rgb), 32)
+    d = _D32 @ g @ _D32.T
+    block = d[:8, :8].flatten()
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # return as signed int64 (parquet/Spark LongType)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_to_vector(ph: np.ndarray) -> np.ndarray:
+    """int64 phash column [B] -> L2-normalized ±1/8 float32 matrix [B, 64].
+
+    This is the featurizer that maps the image table into the reference's
+    data model (unit float vectors, /root/reference/src/main.cc:61-74):
+    bit b -> +1 if set else -1, scaled by 8^-1 so rows are unit-norm.
+    """
+    u = np.asarray(ph, dtype=np.int64).astype(np.uint64)
+    bits = (u[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    return ((bits.astype(np.float32) * 2.0 - 1.0) / 8.0).astype(np.float32)

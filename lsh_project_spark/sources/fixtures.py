@@ -1,0 +1,204 @@
+"""Deterministic planted-cluster `images` fixture (FIXTURES.md §1).
+
+Schema is the authoritative input_hint table:
+(image_id string, bytes binary, w int, h int, fmt string, caption string,
+ phash long) plus a `truth` side table (image_id, true_cluster_id).
+
+Planted structure mirrors the reference's generators — perturbed copies of
+base points (createQueries, /root/reference/src/main.cc:76-88) and
+planted-at-distance points (/root/reference/falconn/random_benchmark.cc:211-229)
+— recast as image/caption duplicates:
+
+  variant 0: the base row itself
+  variant 1: exact byte duplicate (same bytes, new id)
+  variant 2: lossy re-encode at a different quality
+  variant 3: small pixel noise (near-dup image)
+  variant 4: caption token-substitution paraphrase (caption near-dup)
+  variant 5: caption sharing a long substring (for the substring pass)
+  variant 6+: combinations (noise + re-encode + paraphrase)
+
+Every random draw is keyed by (seed, purpose, base_id, variant) via PCG64 —
+independent of partition count and row order (FIXTURES.md §5).  Generation
+runs distributed via ``mapInPandas`` over a ``spark.range`` of base ids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from .codecs import encode_image, phash64
+
+_VOCAB = (
+    "sun moon river stone cloud forest amber quiet orbit ember glass field "
+    "night harbor signal copper violet meadow spiral lantern crystal summit "
+    "hollow breeze cinder willow marble falcon tundra prism nectar quartz"
+).split()
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, true_cluster_id long"
+)
+
+
+def _rng(seed: int, *key: int) -> np.random.Generator:
+    return np.random.Generator(np.random.PCG64(list((seed,) + key)))
+
+
+def _base_image(seed: int, base_id: int, size: int) -> np.ndarray:
+    """Smooth-ish random RGB: coarse 8x8 palette upsampled + mild noise
+    (pure random pixels would make every phash maximally far apart)."""
+    r = _rng(seed, 0, base_id)
+    coarse = r.integers(0, 256, size=(size // 8, size // 8, 3)).astype(np.float64)
+    img = np.kron(coarse, np.ones((8, 8, 1)))
+    img += r.normal(0, 5, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _base_caption(seed: int, base_id: int) -> list[str]:
+    r = _rng(seed, 1, base_id)
+    n = int(r.integers(8, 25))
+    return [_VOCAB[i] for i in r.integers(0, len(_VOCAB), size=n)]
+
+
+def _paraphrase(tokens: list[str], seed: int, base_id: int, variant: int) -> list[str]:
+    """Substitute ~15% of tokens -> high but non-unit shingle Jaccard."""
+    r = _rng(seed, 2, base_id, variant)
+    out = list(tokens)
+    n_sub = max(1, len(out) * 15 // 100)
+    for pos in r.choice(len(out), size=n_sub, replace=False):
+        out[pos] = _VOCAB[int(r.integers(0, len(_VOCAB)))]
+    return out
+
+
+def make_images_rows(
+    base_ids: np.ndarray, seed: int = 42, size: int = 64
+) -> pd.DataFrame:
+    """Generate all rows for the given base (cluster) ids. Pure function of
+    (seed, base_ids) — safe to call per-partition."""
+    rows = []
+    for base_id in base_ids.tolist():
+        r = _rng(seed, 3, base_id)
+        cluster_size = int(r.integers(1, 9))  # 1..8 per FIXTURES.md
+        img = _base_image(seed, base_id, size)
+        cap = _base_caption(seed, base_id)
+        base_fmt = "png" if r.integers(0, 2) == 0 else "jpeg"
+        base_quality = int(r.choice([75, 90]))
+        base_bytes = encode_image(img, base_fmt, base_quality)
+        for variant in range(cluster_size):
+            fmt, quality, pix, cap_v = base_fmt, base_quality, img, cap
+            v_bytes = None
+            kind = variant % 6
+            if variant == 0:
+                v_bytes = base_bytes
+            elif kind == 1:  # exact byte duplicate
+                v_bytes = base_bytes
+            elif kind == 2:  # lossy re-encode at different quality
+                fmt, quality = "jpeg", (90 if base_quality == 75 else 75)
+            elif kind == 3:  # pixel noise near-dup
+                rn = _rng(seed, 4, base_id, variant)
+                pix = np.clip(
+                    img.astype(np.int64) + rn.integers(-8, 9, img.shape), 0, 255
+                ).astype(np.uint8)
+            elif kind == 4:  # caption paraphrase (image unchanged bytes)
+                v_bytes = base_bytes
+                cap_v = _paraphrase(cap, seed, base_id, variant)
+            else:  # kind == 5: shared long substring in caption
+                rn = _rng(seed, 5, base_id, variant)
+                extra = [
+                    _VOCAB[i] for i in rn.integers(0, len(_VOCAB), size=6)
+                ]
+                cap_v = extra + cap  # shares the full base caption as substring
+                v_bytes = base_bytes
+            if v_bytes is None:
+                v_bytes = encode_image(pix, fmt, quality)
+            # recompute phash from the bytes actually stored (decode round trip)
+            from .codecs import decode_image
+
+            ph = phash64(decode_image(v_bytes, fmt))
+            rows.append(
+                {
+                    "image_id": f"img{base_id:07d}_{variant}",
+                    "bytes": v_bytes,
+                    "w": size,
+                    "h": size,
+                    "fmt": fmt,
+                    "caption": " ".join(cap_v),
+                    "phash": ph,
+                    "true_cluster_id": base_id,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def images_from_documents(docs, seed: int = 42, size: int = 64):
+    """Derive the authoritative input_hint `images` table deterministically
+    from a driver-provided `documents` DataFrame (doc_id, text): pixels
+    seeded by doc_id, caption = document text.  Docs with doc_id % 3 == 0
+    get one planted near-duplicate variant (pixel noise + same caption), so
+    the flagship dedup query has real work to do on /root/testdata."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_image
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                img = _base_image(seed, doc_id, size)
+                fmt = "png" if doc_id % 2 == 0 else "jpeg"
+                data = encode_image(img, fmt, 90)
+                ph = phash64(decode_image(data, fmt))
+                rows.append(
+                    {
+                        "image_id": f"img{doc_id:09d}_0",
+                        "bytes": data,
+                        "w": size,
+                        "h": size,
+                        "fmt": fmt,
+                        "caption": text,
+                        "phash": ph,
+                        "true_cluster_id": doc_id,
+                    }
+                )
+                if doc_id % 3 == 0:
+                    rn = _rng(seed, 6, doc_id)
+                    pix = np.clip(
+                        img.astype(np.int64) + rn.integers(-6, 7, img.shape), 0, 255
+                    ).astype(np.uint8)
+                    d2 = encode_image(pix, "jpeg", 75)
+                    ph2 = phash64(decode_image(d2, "jpeg"))
+                    rows.append(
+                        {
+                            "image_id": f"img{doc_id:09d}_1",
+                            "bytes": d2,
+                            "w": size,
+                            "h": size,
+                            "fmt": "jpeg",
+                            "caption": text,
+                            "phash": ph2,
+                            "true_cluster_id": doc_id,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
+def images_table(spark, num_clusters: int, seed: int = 42, size: int = 64,
+                 partitions: int | None = None):
+    """Distributed fixture: DataFrame with IMAGES_SCHEMA (truth column kept
+    alongside; select it away to get the pure input table)."""
+    parts = partitions or max(2, min(64, num_clusters // 32 or 2))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield make_images_rows(pdf["id"].to_numpy(), seed=seed, size=size)
+
+    return (
+        spark.range(0, num_clusters, 1, parts)
+        .mapInPandas(gen, schema=IMAGES_SCHEMA)
+    )

@@ -1,0 +1,51 @@
+"""Connected-components vs union-find oracle (SURVEY.md §5.2 'e2e: clusters')."""
+
+import numpy as np
+import pytest
+
+from lsh_project_spark.operators.cluster import assign_clusters, connected_components
+from lsh_project_spark.oracle.cluster import union_find_clusters
+
+
+def _random_graph(seed, n, m):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2)) if a != b]
+    return list(range(n)), edges
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 50, 30), (2, 200, 150), (3, 500, 700)])
+def test_cc_matches_union_find(spark, seed, n, m):
+    nodes, edges = _random_graph(seed, n, m)
+    oracle = union_find_clusters(nodes, edges)
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    for node, cid in got.items():
+        assert oracle[node] == cid, node
+
+
+def test_cc_chain_graph(spark):
+    """Worst-case diameter: a long path must still collapse to one root."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n
+
+
+def test_cc_string_ids(spark):
+    edges = [("imgB", "imgA"), ("imgC", "imgB"), ("imgX", "imgY")]
+    edf = spark.createDataFrame(edges, "a string, b string")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    assert got["imgA"] == got["imgB"] == got["imgC"] == "imgA"
+    assert got["imgX"] == got["imgY"] == "imgX"
+
+
+def test_assign_clusters_singletons(spark):
+    ids = spark.createDataFrame([("a",), ("b",), ("c",)], "image_id string")
+    edges = spark.createDataFrame([("b", "c")], "a string, b string")
+    got = {
+        r["image_id"]: r["cluster_id"]
+        for r in assign_clusters(ids, edges).collect()
+    }
+    assert got == {"a": "a", "b": "b", "c": "b"}
