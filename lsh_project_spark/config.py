@@ -24,8 +24,11 @@ class CrossPolytopeConfig:
     ceil(log2 d)+1 (src/lsh.c:331) is derived, not stored.
     """
 
+    # k = 3 for d = 64 per the FALCONN-side formula 31/(ceil(log2 d)+1) - 1
+    # rounded to keep bucket keys selective (21 bits here): at k = 2 the
+    # 14-bit key space floods with O(b^2) candidate pairs at web scale
     dim: int = 64
-    k: int = 2
+    k: int = 3
     num_tables: int = 8
     num_rotations: int = 3
     seed: int = 49628583  # reference's C++ seed, src/main.cc:20
@@ -61,8 +64,12 @@ class MinHashConfig:
 class SimHashConfig:
     """SimHash band hashing (Charikar '02)."""
 
-    num_bits: int = 64
-    num_bands: int = 8  # 8 bands x 8 bits
+    # 56 usable bits (14 md5 hex chars, signed-int64 safe); 4 bands x 14
+    # bits guarantees a band collision for Hamming <= 3 (pigeonhole) while
+    # keeping the per-band key space large enough (2^14) that random
+    # fingerprints rarely collide — 8x7-bit bands explode quadratically
+    num_bits: int = 56
+    num_bands: int = 4
     hamming_threshold: int = 3
 
     @property
@@ -97,10 +104,12 @@ class PipelineConfig:
     # exact-verify thresholds
     phash_hamming_threshold: int = 10
     jaccard_threshold: float = 0.5
-    # skew control: buckets larger than this get salted pair generation,
-    # and per-bucket pair budget (see operators/candidates.py)
-    hot_bucket_threshold: int = 2000
-    max_pairs_per_bucket: int = 2_000_000
+    # skew control: buckets larger than this contribute star pairs instead
+    # of all O(b^2) pairs (see operators/candidates.py).  True duplicate
+    # groups are overwhelmingly smaller; a bigger bucket is hash degeneracy.
+    # (The reference's analog caps buckets at 2^k = 4 slots with silent
+    # drop, /root/reference/src/lsh.c:179-189 — ours keeps linear coverage.)
+    hot_bucket_threshold: int = 64
 
     def config_hash(self) -> str:
         return hashlib.sha256(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 
 def candidate_pairs(
@@ -30,6 +31,7 @@ def candidate_pairs(
     bucket_cols: tuple[str, ...] = ("table_idx", "bucket"),
     hot_bucket_threshold: int = 2000,
     max_pairs_per_bucket: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Signature table -> distinct (a, b) candidate pairs with a < b.
 
@@ -44,6 +46,12 @@ def candidate_pairs(
     """
     bc = list(bucket_cols)
     sigs = signatures.select(*bc, F.col(id_col).alias("member"))
+    if persist:
+        # the signature DAG (often a full MinHash/CP aggregation) feeds four
+        # consumers below (counts, cold x2, hot); without persistence Spark
+        # recomputes it for each — at scale this is the difference between
+        # one signature pass and five
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     counts = sigs.groupBy(*bc).agg(F.count("*").alias("bucket_n"))
     sized = sigs.join(counts.hint("shuffle_hash"), bc)

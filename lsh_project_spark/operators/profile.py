@@ -1,0 +1,172 @@
+"""Fused multi-modal signature profile — ONE Arrow-vectorized pass.
+
+The reference's bulked execution model (process a block of 512 rows with
+all rotation/hash work while operands stay cache-resident,
+/root/reference/src/main.cc:513-549, src/lsh.c:466-536) maps to a single
+``mapInPandas`` stage that computes, per Arrow record batch:
+
+  - CP-LSH buckets over the phash-derived unit vector (batched matmul +
+    vectorized argmax; semantics of src/lsh.c:203-220,328-342),
+  - MinHash band hashes over caption shingles (Broder '97),
+  - SimHash fingerprint over caption tokens (Charikar '02),
+  - the shingle-hash set itself (reused by the exact-Jaccard verify, so
+    the verify join ships compact int64 arrays, not strings).
+
+Output: (image_id, phash, hs, cp_buckets, mh_bands, simhash) — a narrow,
+shuffle-free stage.  All hashes share the portable md5 family
+(functions/hashing.py) and agree bit-exactly with the JVM expression path
+(operators/signatures.py) and the DuckDB oracle — pinned by tests.
+
+Why not the JVM higher-order-function path for the pipeline: Spark HOF
+lambdas evaluate interpreted (outside whole-stage codegen); at num_perm x
+shingles x rows element-ops they dominate the runtime.  numpy over Arrow
+batches is the vectorized engine for exactly this shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..config import PipelineConfig
+from ..functions.hashing import PORTABLE_HASH_MOD, minhash_params
+from ..oracle.lsh_core import concat_hashes, cp_hash
+from ..params import fold_rotations
+from ..sources.codecs import phash_to_vector
+
+H32 = 1 << 32
+
+PROFILE_SCHEMA = (
+    "image_id string, phash long, hs array<long>, cp_buckets array<long>, "
+    "mh_bands array<long>, simhash long"
+)
+
+
+def _shingle_h60(text: str, k: int) -> np.ndarray:
+    """Distinct word k-shingles -> unique 60-bit portable hashes (int64).
+
+    One md5 per shingle serves every consumer: h32 = h60 % 2^32 feeds
+    MinHash and the verify sets; h56 = h60 >> 4 feeds SimHash (both
+    renderings match the engines' substring(md5, ...) expressions exactly).
+    """
+    toks = text.split(" ")
+    if len(toks) <= k:
+        sh = [text]
+    else:
+        sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    vals = [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in sh]
+    return np.unique(np.array(vals, dtype=np.int64))
+
+
+def _simhash56_from_h60(h60: np.ndarray) -> int:
+    h56 = h60 >> 4
+    bits = (h56[:, None] >> np.arange(56, dtype=np.int64)[None, :]) & 1
+    votes = (2 * bits - 1).sum(axis=0)
+    fp = np.where(votes > 0, np.int64(1) << np.arange(56, dtype=np.int64), 0).sum()
+    return int(fp)
+
+
+def multimodal_profile(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """images(image_id, caption, phash) -> profile DF (see PROFILE_SCHEMA)."""
+    P = PORTABLE_HASH_MOD
+    mh_cfg = cfg.minhash
+    a, b, c = minhash_params(mh_cfg.num_perm, mh_cfg.seed)
+    rpb, n_bands = mh_cfg.rows_per_band, mh_cfg.num_bands
+    rot = fold_rotations(cfg.cp)
+    L, k, d, _ = rot.shape
+    rot2d = np.ascontiguousarray(rot.transpose(3, 0, 1, 2).reshape(d, L * k * d))
+    sh_bits = 56 // cfg.simhash.num_bands
+    shingle_k = mh_cfg.shingle_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            # --- CP-LSH: one BLAS call for the whole batch
+            x = phash_to_vector(pdf["phash"].to_numpy())
+            y = (x @ rot2d).reshape(n, L, k, d)
+            cp_buckets = concat_hashes(cp_hash(y), d)  # [n, L]
+            # --- captions
+            hs_list, mh_list, sim_list = [], [], []
+            for text in pdf["caption"]:
+                h60 = _shingle_h60(text, shingle_k)
+                hs = np.unique(h60 % H32)
+                # minhash: [P] mins over shingle hashes
+                mh = (a[None, :] * hs[:, None] + b[None, :]) % P
+                sig = mh.min(axis=0)
+                terms = ((sig % H32) * c) % P
+                bands = terms.reshape(n_bands, rpb).sum(axis=1)
+                hs_list.append(hs)
+                mh_list.append(bands)
+                sim_list.append(_simhash56_from_h60(h60))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "phash": pdf["phash"],
+                    "hs": hs_list,
+                    "cp_buckets": list(cp_buckets),
+                    "mh_bands": mh_list,
+                    "simhash": sim_list,
+                }
+            )
+
+    return images.select("image_id", "caption", "phash").mapInPandas(
+        run, schema=PROFILE_SCHEMA
+    )
+
+
+def profile_signatures(profile: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Profile -> unified exploded signature table
+    (image_id, modality, band, bucket); cheap JVM posexplode of tiny arrays."""
+    sh_bits = 56 // cfg.simhash.num_bands
+    cp = profile.select(
+        "image_id", F.posexplode("cp_buckets").alias("band", "bucket")
+    ).select("image_id", F.lit(0).alias("modality"), F.col("band").cast("int"), "bucket")
+    mh = profile.select(
+        "image_id", F.posexplode("mh_bands").alias("band", "bucket")
+    ).select("image_id", F.lit(1).alias("modality"), F.col("band").cast("int"), "bucket")
+    sh = profile.select(
+        "image_id",
+        F.explode(F.expr(f"sequence(0, {cfg.simhash.num_bands - 1})")).alias("band"),
+        F.expr(
+            f"(simhash >> (cast(band as int) * {sh_bits})) & {(1 << sh_bits) - 1}"
+        ).alias("bucket"),
+    ).select("image_id", F.lit(2).alias("modality"), F.col("band").cast("int"), "bucket")
+    return cp.unionByName(mh).unionByName(sh)
+
+
+def verify_pairs_from_profile(
+    cands: DataFrame, profile: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Exact verify: phash Hamming <= tau OR shingle Jaccard >= tau, joining
+    only (id, phash, hs) — int64 arrays, no strings through the shuffle.
+
+    Jaccard over distinct shingle *hashes* equals Jaccard over shingles up
+    to md5-collision probability (~|S|^2 / 2^32 per doc pair — negligible
+    and pinned by the pipeline-vs-oracle recall tests).
+    """
+    side = profile.select("image_id", "phash", "hs")
+    a_side = side.select(
+        F.col("image_id").alias("a"), F.col("phash").alias("pa"), F.col("hs").alias("ha")
+    )
+    b_side = side.select(
+        F.col("image_id").alias("b"), F.col("phash").alias("pb"), F.col("hs").alias("hb")
+    )
+    return (
+        cands.join(a_side, "a")
+        .join(b_side, "b")
+        .filter(
+            F.expr(
+                f"bit_count(pa ^ pb) <= {cfg.phash_hamming_threshold} OR "
+                f"(size(array_intersect(ha, hb)) / size(array_union(ha, hb)))"
+                f" >= {cfg.jaccard_threshold}"
+            )
+        )
+        .select("a", "b")
+    )

@@ -89,38 +89,49 @@ def minhash_band_table(
     LSH, entirely with JVM expressions (no Python in the plan).
 
     Per permutation i: mh_i = min over shingles of (a_i * h32 + b_i) mod p.
-    Band hash = sum over the band's rows of ((mh % 2^32) * c_i) % p —
-    order-independent, so no sort is needed inside the aggregation.
+    Band hash = sum over the band's rows of ((mh_i % 2^32) * c_i) % p —
+    order-independent, so no sort inside the aggregation.
+
+    Plan shape (scale-critical): md5 is evaluated ONCE per shingle, the only
+    shuffle is the per-doc collect_set of 32-bit shingle hashes (bounded by
+    tokens/doc), and the num_perm mins + band sums run as tight higher-order
+    array expressions inside whole-stage codegen — no num_perm-times row
+    explosion through the exchange.
     """
+    P = PORTABLE_HASH_MOD
     a, b, c = minhash_params(cfg.num_perm, cfg.seed)
-    perms = docs.sparkSession.createDataFrame(
-        [(i, int(a[i]), int(b[i]), int(c[i]), i // cfg.rows_per_band)
-         for i in range(cfg.num_perm)],
-        "perm int, a long, b long, c long, band_idx int",
-    )
+    ab_arr = "array(" + ", ".join(
+        f"named_struct('a', {int(a[i])}L, 'b', {int(b[i])}L)"
+        for i in range(cfg.num_perm)
+    ) + ")"
+    c_arr = "array(" + ", ".join(f"{int(c[i])}L" for i in range(cfg.num_perm)) + ")"
+    r = cfg.rows_per_band
     h32 = f"({spark_hash60('shingle')} % 4294967296)"
-    return (
-        docs.select(
-            F.col(id_col),
-            F.explode(shingle_expr(text_col, cfg.shingle_size)).alias("shingle"),
-        )
-        .crossJoin(F.broadcast(perms))
-        .select(
-            id_col,
-            "perm",
-            "band_idx",
-            "c",
-            F.expr(f"(a * {h32} + b) % {PORTABLE_HASH_MOD}").alias("mh"),
-        )
-        .groupBy(id_col, "perm", "band_idx", "c")
-        .agg(F.min("mh").alias("mh"))
-        .groupBy(id_col, "band_idx")
-        .agg(
-            F.sum(
-                F.expr(f"((mh % 4294967296) * c) % {PORTABLE_HASH_MOD}")
-            ).alias("band_hash")
-        )
+    hashed = docs.select(
+        F.col(id_col),
+        F.explode(shingle_expr(text_col, cfg.shingle_size)).alias("shingle"),
+    ).select(id_col, F.expr(h32).alias("h32"))
+    sigs = hashed.groupBy(id_col).agg(F.collect_set("h32").alias("hs"))
+    mh = sigs.select(
+        id_col,
+        F.expr(
+            f"transform({ab_arr}, p -> "
+            f"array_min(transform(hs, h -> (p.a * h + p.b) % {P})))"
+        ).alias("mh"),
     )
+    return mh.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {cfg.num_bands - 1}), j -> struct("
+                f"cast(j as int) as band_idx, "
+                f"aggregate(slice(zip_with(mh, {c_arr}, "
+                f"(m, cc) -> ((m % 4294967296) * cc) % {P}), "
+                f"j * {r} + 1, {r}), cast(0 as bigint), (acc, x) -> acc + x) "
+                f"as band_hash))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band_idx", "bb.band_hash")
 
 
 # --------------------------------------------------------------- SimHash (JVM)
@@ -131,28 +142,29 @@ SIMHASH_BITS = 56  # 14 md5 hex chars: every bit op stays in signed int64
 def simhash_table(
     docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, text) -> (id, simhash long): 56-bit token-level SimHash, JVM-only.
+    """(id, text) -> (id, simhash long): 56-bit SimHash over distinct word
+    3-shingles, JVM-only.
 
-    bit b = 1 iff sum over tokens of (2*bit_b(hash56(tok)) - 1) > 0.
+    bit b = 1 iff sum over shingles of (2*bit_b(hash56(shingle)) - 1) > 0.
+    Shingle features (vs raw tokens) keep fingerprints spread out when the
+    vocabulary is small — token-level SimHash collapses onto few values and
+    floods the band buckets.
     """
     h56 = "cast(conv(substring(md5(tok), 1, 14), 16, 10) as bigint)"
-    return (
-        docs.select(
-            F.col(id_col), F.explode(F.expr(f"split({text_col}, ' ')")).alias("tok")
-        )
-        .select(id_col, F.expr(h56).alias("h"))
-        .select(id_col, "h", F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"))
-        .groupBy(id_col, "b")
-        .agg(F.sum(F.expr("case when (h >> b) & 1 = 1 then 1 else -1 end")).alias("vote"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.expr(
-                    "case when vote > 0 then shiftleft(cast(1 as bigint), b) "
-                    "else cast(0 as bigint) end"
-                )
-            ).alias("simhash")
-        )
+    hashed = docs.select(
+        F.col(id_col), F.explode(shingle_expr(text_col, 3)).alias("tok")
+    ).select(id_col, F.expr(h56).alias("h"))
+    # one shuffle (collect per-doc token hashes), then bit votes + fingerprint
+    # fold as whole-stage-codegen higher-order expressions — no 56x bit
+    # explosion through the exchange
+    return hashed.groupBy(id_col).agg(
+        F.expr(
+            f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), "
+            f"(fp, b) -> fp + (case when "
+            f"aggregate(collect_list(h), 0, "
+            f"(acc, hh) -> acc + (case when (hh >> b) & 1 = 1 then 1 else -1 end)) > 0 "
+            f"then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))"
+        ).alias("simhash")
     )
 
 
@@ -161,7 +173,8 @@ def simhash_band_table(
 ) -> DataFrame:
     """(id, simhash) -> (id, band_idx, band_hash): bit-slice banding.
     Two fingerprints within Hamming r collide on >= 1 band when banded into
-    more than r slices (pigeonhole)."""
+    more than r slices (pigeonhole: r flipped bits can dirty at most r of
+    the num_bands slices)."""
     bits = SIMHASH_BITS // cfg.num_bands
     return simhashes.select(
         id_col,

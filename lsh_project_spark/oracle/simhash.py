@@ -2,8 +2,10 @@
 
 56-bit fingerprint (14 md5 hex chars) so every bit test stays in signed
 int64 and renders identically in Spark SQL and DuckDB: bit b of the
-fingerprint is 1 iff  sum over tokens of (2*bit_b(hash56(token)) - 1) > 0.
-Ties (sum == 0) resolve to bit 0.
+fingerprint is 1 iff  sum over distinct word-3-shingles of
+(2*bit_b(hash56(shingle)) - 1) > 0.  Ties (sum == 0) resolve to bit 0.
+Shingle features (vs raw tokens) keep fingerprints spread out under small
+vocabularies.
 """
 
 from __future__ import annotations
@@ -19,12 +21,13 @@ def hash56_py(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:14], 16)
 
 
-def simhash64(text: str, num_bits: int = SIMHASH_BITS) -> int:
-    """Token-level SimHash fingerprint (duplicate tokens count with
-    multiplicity, matching the SQL rendering which sums over all tokens)."""
-    toks = text.split(" ")
+def simhash64(text: str, num_bits: int = SIMHASH_BITS, shingle_k: int = 3) -> int:
+    """SimHash fingerprint over distinct word k-shingles."""
+    from .minhash import shingles
+
+    feats = shingles(text, shingle_k)
     votes = np.zeros(num_bits, dtype=np.int64)
-    for t in toks:
+    for t in feats:
         h = hash56_py(t)
         for b in range(num_bits):
             votes[b] += 1 if (h >> b) & 1 else -1

@@ -29,6 +29,7 @@ from .operators.featurize import features_from_phash
 from .operators.signatures import (
     cp_signature_table,
     minhash_band_table,
+    shingle_expr,
     simhash_band_table,
     simhash_table,
 )
@@ -39,6 +40,99 @@ from .operators.verify import verify_jaccard, verify_phash_hamming
 class PipelineResult:
     assignments: DataFrame  # (image_id, cluster_id)
     verified_pairs: DataFrame  # (a, b)
+
+
+def all_signatures(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Unified multi-modal signature table (image_id, modality, band, bucket).
+
+    modality 0 = CP-LSH over phash vectors (reference semantics),
+    modality 1 = MinHash bands over captions, modality 2 = SimHash bands.
+    One union -> ONE bucket self-join downstream (instead of three), so the
+    candidate stage pays one shuffle and one set of stages at any scale.
+    """
+    docs = images.select("image_id", F.col("caption").alias("text"))
+    cp = cp_signature_table(features_from_phash(images), cfg.cp).select(
+        "image_id",
+        F.lit(0).alias("modality"),
+        F.col("table_idx").cast("int").alias("band"),
+        "bucket",
+    )
+    mh = minhash_band_table(docs, cfg.minhash, id_col="image_id").select(
+        "image_id",
+        F.lit(1).alias("modality"),
+        F.col("band_idx").alias("band"),
+        F.col("band_hash").alias("bucket"),
+    )
+    sh = simhash_band_table(
+        simhash_table(docs, cfg.simhash, id_col="image_id"),
+        cfg.simhash,
+        id_col="image_id",
+    ).select(
+        "image_id",
+        F.lit(2).alias("modality"),
+        F.col("band_idx").alias("band"),
+        F.col("band_hash").alias("bucket"),
+    )
+    return cp.unionByName(mh).unionByName(sh)
+
+
+def verify_pairs_multimodal(
+    cands: DataFrame, images: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """One combined exact-verify pass: a candidate pair is a duplicate if
+    phash Hamming <= tau  OR  caption shingle-Jaccard >= tau.  Joins the
+    (id, phash, shingles) projection twice — `bytes` never shuffles."""
+    side = images.select(
+        F.col("image_id").alias("_id"),
+        F.col("phash").alias("_ph"),
+        shingle_expr("caption", cfg.minhash.shingle_size).alias("_sh"),
+    )
+    a_side = side.select(
+        F.col("_id").alias("a"), F.col("_ph").alias("pa"), F.col("_sh").alias("sa")
+    )
+    b_side = side.select(
+        F.col("_id").alias("b"), F.col("_ph").alias("pb"), F.col("_sh").alias("sb")
+    )
+    return (
+        cands.join(a_side, "a")
+        .join(b_side, "b")
+        .filter(
+            F.expr(
+                f"bit_count(pa ^ pb) <= {cfg.phash_hamming_threshold} OR "
+                f"(size(array_intersect(sa, sb)) / size(array_union(sa, sb)))"
+                f" >= {cfg.jaccard_threshold}"
+            )
+        )
+        .select("a", "b")
+    )
+
+
+def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
+    """Production path: ONE fused Arrow-vectorized signature stage
+    (operators/profile.py — the reference's bulked model), a single unified
+    bucket self-join, a compact int-array verify, then CC clustering."""
+    from .operators.profile import (
+        multimodal_profile,
+        profile_signatures,
+        verify_pairs_from_profile,
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    cfg = cfg or PipelineConfig()
+    slim = images.select("image_id", "caption", "phash")
+    profile = multimodal_profile(slim, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = profile_signatures(profile, cfg)
+    cands = candidate_pairs(
+        sigs,
+        bucket_cols=("modality", "band", "bucket"),
+        hot_bucket_threshold=cfg.hot_bucket_threshold,
+    )
+    pairs = verify_pairs_from_profile(cands, profile, cfg)
+    assignments = assign_clusters(profile, pairs, id_col="image_id")
+    return PipelineResult(assignments=assignments, verified_pairs=pairs)
+
+
+# -------- per-modality variants (kept for stage attribution / diagnostics)
 
 
 def verified_image_pairs(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -80,16 +174,6 @@ def verified_caption_pairs(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
         cfg.jaccard_threshold,
         id_col="image_id",
     ).select("a", "b")
-
-
-def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
-    cfg = cfg or PipelineConfig()
-    slim = images.select("image_id", "caption", "phash")
-    img_pairs = verified_image_pairs(slim, cfg)
-    cap_pairs = verified_caption_pairs(slim, cfg)
-    pairs = img_pairs.unionByName(cap_pairs).dropDuplicates(["a", "b"])
-    assignments = assign_clusters(slim, pairs, id_col="image_id")
-    return PipelineResult(assignments=assignments, verified_pairs=pairs)
 
 
 def pair_recall(found_pairs: DataFrame, true_pairs: DataFrame) -> float:

@@ -68,15 +68,15 @@ GROUP BY doc_id, band_idx
 
 
 def duckdb_simhash_sql(num_bits: int = 56, table: str = "documents") -> str:
-    """DuckDB query: (doc_id, simhash) matching operators/signatures.simhash_table."""
+    """DuckDB query: (doc_id, simhash) matching operators/signatures.simhash_table
+    (SimHash over distinct word-3-shingles)."""
+    cfg = MinHashConfig(shingle_size=3)
     return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {table}
-),
+WITH {duckdb_shingles_cte(cfg, table)},
 hashed AS (
   SELECT doc_id,
-         cast(('0x' || substring(md5(tok), 1, 14)) AS BIGINT) AS h
-  FROM tok
+         cast(('0x' || substring(md5(shingle), 1, 14)) AS BIGINT) AS h
+  FROM shingled
 ),
 votes AS (
   SELECT doc_id, b.b AS b,

@@ -28,6 +28,15 @@ def get_spark(
         .config("spark.default.parallelism", str(cores * 2))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions to data size, not to raw core
+        # count — tiny stages collapse to a handful of tasks, huge stages
+        # keep shuffle_partitions; without this every micro-shuffle pays
+        # `shuffle_partitions` task launches
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+        # let AQE re-plan cached DataFrames too (candidate_pairs persists
+        # the signature table; default false pins its partitioning)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # signature matmul batches: large enough to amortize Arrow transfer,

@@ -133,12 +133,28 @@ def make_images_rows(
     return pd.DataFrame(rows)
 
 
-def images_from_documents(docs, seed: int = 42, size: int = 64):
+def images_from_documents(docs, seed: int = 42, size: int = 64, tiles: int = 1):
     """Derive the authoritative input_hint `images` table deterministically
     from a driver-provided `documents` DataFrame (doc_id, text): pixels
     seeded by doc_id, caption = document text.  Docs with doc_id % 3 == 0
-    get one planted near-duplicate variant (pixel noise + same caption), so
-    the flagship dedup query has real work to do on /root/testdata."""
+    get one planted near-duplicate variant, so the flagship dedup query has
+    real work to do on /root/testdata.
+
+    ``tiles > 1`` scales the table deterministically for benchmarking
+    (FIXTURES.md §1 "bench may also tile this deterministically"): tile t>0
+    reuses the base row's encoded bytes but perturbs phash (16 random bit
+    flips, Hamming > tau vs every other tile) and caption (~40% token
+    substitution, Jaccard < 0.5), so tiles form independent clusters with
+    the same planted-duplicate structure.  Tile phash/caption are synthetic
+    perturbations (not re-derived from bytes); the dedup pipeline consumes
+    only (image_id, caption, phash)."""
+
+    def _tile_phash(ph: int, rn: np.random.Generator) -> int:
+        mask = 0
+        for bit in rn.choice(64, size=16, replace=False):
+            mask |= 1 << int(bit)
+        v = (ph & ((1 << 64) - 1)) ^ mask
+        return v - (1 << 64) if v >= (1 << 63) else v
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import decode_image
@@ -151,37 +167,39 @@ def images_from_documents(docs, seed: int = 42, size: int = 64):
                 fmt = "png" if doc_id % 2 == 0 else "jpeg"
                 data = encode_image(img, fmt, 90)
                 ph = phash64(decode_image(data, fmt))
-                rows.append(
-                    {
-                        "image_id": f"img{doc_id:09d}_0",
-                        "bytes": data,
-                        "w": size,
-                        "h": size,
-                        "fmt": fmt,
-                        "caption": text,
-                        "phash": ph,
-                        "true_cluster_id": doc_id,
-                    }
-                )
-                if doc_id % 3 == 0:
+                has_dup = doc_id % 3 == 0
+                if has_dup:
                     rn = _rng(seed, 6, doc_id)
                     pix = np.clip(
                         img.astype(np.int64) + rn.integers(-6, 7, img.shape), 0, 255
                     ).astype(np.uint8)
                     d2 = encode_image(pix, "jpeg", 75)
                     ph2 = phash64(decode_image(d2, "jpeg"))
+                for t in range(tiles):
+                    if t == 0:
+                        cap, p0, p1 = text, ph, (ph2 if has_dup else None)
+                    else:
+                        rt = _rng(seed, 7, doc_id, t)
+                        toks = text.split(" ")
+                        n_sub = max(1, len(toks) * 40 // 100)
+                        for pos in rt.choice(len(toks), size=n_sub, replace=False):
+                            toks[pos] = _VOCAB[int(rt.integers(0, len(_VOCAB)))]
+                        cap = " ".join(toks)
+                        p0 = _tile_phash(ph, rt)
+                        # dup variant: 2 extra flips off the tile phash
+                        p1 = (p0 ^ (1 | (1 << 33))) if has_dup else None
+                    cid = doc_id * 1000 + t
                     rows.append(
-                        {
-                            "image_id": f"img{doc_id:09d}_1",
-                            "bytes": d2,
-                            "w": size,
-                            "h": size,
-                            "fmt": "jpeg",
-                            "caption": text,
-                            "phash": ph2,
-                            "true_cluster_id": doc_id,
-                        }
+                        {"image_id": f"img{doc_id:09d}_t{t}_0", "bytes": data,
+                         "w": size, "h": size, "fmt": fmt, "caption": cap,
+                         "phash": p0, "true_cluster_id": cid}
                     )
+                    if has_dup:
+                        rows.append(
+                            {"image_id": f"img{doc_id:09d}_t{t}_1", "bytes": d2,
+                             "w": size, "h": size, "fmt": "jpeg", "caption": cap,
+                             "phash": p1, "true_cluster_id": cid}
+                        )
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id", "text").mapInPandas(gen, schema=IMAGES_SCHEMA)
