@@ -1,0 +1,126 @@
+"""Multimodal binary-column operators.
+
+Images/audio/video ride as opaque ``binary`` columns with typed metadata
+(the input_hint schema).  Image decode / feature-extract / resize are REAL
+here (pure-numpy codecs, sources/codecs.py).  Audio decode and video
+frame-sampling are stubbed behind NotImplementedError with the full
+Spark-side plumbing (schema, batching, UDF signature) in place, since the
+container ships no av libraries — the UDF bodies are the only fakes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..sources.codecs import area_resize, decode_image, encode_image, gray
+
+
+def decode_image_stats(images: DataFrame) -> DataFrame:
+    """(image_id, bytes, fmt) -> per-channel means + stddev + a simple
+    sharpness proxy (mean |laplacian|); the canonical decode+feature pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(data), fmt).astype(np.float64)
+                g = gray(px)
+                lap = np.abs(
+                    4 * g[1:-1, 1:-1]
+                    - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+                )
+                rows.append(
+                    {
+                        "image_id": image_id,
+                        "mean_r": round(float(px[..., 0].mean()), 4),
+                        "mean_g": round(float(px[..., 1].mean()), 4),
+                        "mean_b": round(float(px[..., 2].mean()), 4),
+                        "stddev": round(float(px.std()), 4),
+                        "sharpness": round(float(lap.mean()), 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run,
+        schema="image_id string, mean_r double, mean_g double, mean_b double, "
+        "stddev double, sharpness double",
+    )
+
+
+def resize_images(images: DataFrame, factor: int = 2) -> DataFrame:
+    """Downsample by an integer factor (area mean) and re-encode in the
+    same format; returns the input_hint schema with updated bytes/w/h."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_image(bytes(r.bytes), r.fmt)
+                h, w, _ = px.shape
+                small = np.stack(
+                    [area_resize(px[..., ch].astype(np.float64), h // factor)
+                     for ch in range(3)],
+                    axis=-1,
+                )
+                small = np.clip(np.round(small), 0, 255).astype(np.uint8)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": encode_image(small, r.fmt, 90),
+                        "w": w // factor,
+                        "h": h // factor,
+                        "fmt": r.fmt,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+AUDIO_FEATURES_SCHEMA = "clip_id string, duration_sec double, rms double, zero_crossings long"
+VIDEO_FRAMES_SCHEMA = "video_id string, frame_idx int, frame_bytes binary"
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    """STUB (no audio codec in this container): plumbing is real — binary
+    column in, Arrow-batched UDF, typed feature schema out — the decode
+    call raises."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                raise NotImplementedError(
+                    "audio decode requires an audio codec library not present "
+                    "in this environment; plumbing (schema/batching) is real"
+                )
+            yield pd.DataFrame(
+                columns=["clip_id", "duration_sec", "rms", "zero_crossings"]
+            )
+
+    return clips.select("clip_id", "bytes").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def video_frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB (no video codec in this container): see audio_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                raise NotImplementedError(
+                    "video decode requires a codec library not present in "
+                    "this environment; plumbing (schema/batching) is real"
+                )
+            yield pd.DataFrame(columns=["video_id", "frame_idx", "frame_bytes"])
+
+    return videos.select("video_id", "bytes").mapInPandas(
+        run, schema=VIDEO_FRAMES_SCHEMA
+    )

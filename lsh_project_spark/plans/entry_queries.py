@@ -180,6 +180,107 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- text analysis queries
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------- relational / events
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("round(sum(value), 4)").alias("sum_value"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k: revenue by customer (TPC-H Q10 flavor)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.expr("round(sum(l_extendedprice * (1 - l_discount)), 4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+    return rev
+
+
+# ------------------------------------------------- dedup pipeline (rows-only)
+
+
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array substring-duplicate pass over documents (rows-only:
+    the winnowing+SA verify is not SQL-expressible)."""
+    from ..config import SubstringConfig
+    from ..operators.substring import substring_pairs
+
+    return substring_pairs(_docs(spark, sf_dir), SubstringConfig())
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-5 for the same query set as embedding_topk
+    (rows-only; float sign boundaries are not bit-portable to DuckDB)."""
+    from ..operators.similarity import ann_topk_lsh
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.expr("vec_id % 50 = 0")).withColumnRenamed("vec_id", "query_id")
+    return ann_topk_lsh(e, q, dim=64, k=5, num_tables=8, bits=6).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline on images derived from documents -> cluster-size
+    histogram (rows-only: CC is iterative, not single-statement SQL)."""
+    from ..config import PipelineConfig
+    from ..pipeline import dedup_pipeline
+    from ..sources.fixtures import images_from_documents
+
+    images = images_from_documents(_docs(spark, sf_dir), seed=42)
+    res = dedup_pipeline(images, PipelineConfig())
+    return (
+        res.assignments.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 QUERIES = {
     "minhash_bands": q_minhash_bands,
     "simhash": q_simhash,
@@ -189,6 +290,15 @@ QUERIES = {
     "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
     "embedding_topk": q_embedding_topk,
     "tpch_pricing_summary": q_tpch_pricing_summary,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "events_hourly": q_events_hourly,
+    "top_customers": q_top_customers,
+    "substring_pairs": q_substring_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
 }
 
 
@@ -276,4 +386,80 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
+        "token_stats": """
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct_tokens,
+       length(text) AS n_chars,
+       list_sum(list_transform(t, x -> cast(ceil(length(x) / 4.0) AS INT)))
+         AS n_subwords_est
+FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+""",
+        "quality_score": """
+SELECT doc_id,
+       round(length(text) / len(t), 4) AS mean_word_len,
+       round(len(list_filter(t, x -> list_contains(
+         ['the','and','of','to','in','is','that','for','with','was'], x)))
+         / len(t), 4) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+         / length(text), 4) AS alpha_ratio,
+       round(1.0 - len(list_distinct(t)) / len(t), 4) AS repetition_ratio
+FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+""",
+        "lang_id": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+scored AS (
+  SELECT doc_id, m.lang,
+         len(list_filter(t, x -> list_contains(m.words, x))) AS score
+  FROM toks CROSS JOIN (VALUES {_lang_markers_values()}) m(lang, words)
+)
+SELECT doc_id,
+       struct_extract(max({{'score': score, 'lang': lang}}), 'lang') AS lang_pred
+FROM scored GROUP BY doc_id
+""",
+        "doc_fingerprint": f"""
+WITH {_SHINGLE_CTE_FULL}
+SELECT doc_id,
+       (list_sort(list({duckdb_hash60('shingle')})))[1:8] AS fingerprint
+FROM shingled GROUP BY doc_id
+""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "top_customers": """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 10
+""",
     }
+
+
+def _lang_markers_values() -> str:
+    from ..operators.text import LANG_MARKERS
+
+    rows = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        rows.append(f"('{lang}', [{lst}])")
+    return ", ".join(rows)
+
+
+_SHINGLE_CTE_FULL = """toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+shl AS (
+  SELECT doc_id,
+    CASE WHEN len(t) <= 3 THEN [text]
+         ELSE list_distinct([array_to_string(t[i + 1 : i + 3], ' ')
+                             for i in range(0, len(t) - 3 + 1)])
+    END AS shs
+  FROM toks
+),
+shingled AS (SELECT doc_id, unnest(shs) AS shingle FROM shl)"""
