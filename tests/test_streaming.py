@@ -1,0 +1,49 @@
+"""Incremental streaming dedup == batch dedup over the same rows."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lsh_project_spark.config import PipelineConfig
+from lsh_project_spark.pipeline import dedup_pipeline
+from lsh_project_spark.sources.fixtures import images_table
+from lsh_project_spark.streaming.incremental import IncrementalDedup
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    images = images_table(spark, num_clusters=15, seed=23).cache()
+    images.count()
+
+    # batch ground truth
+    cfg = PipelineConfig()
+    batch_pairs = {
+        (r["a"], r["b"])
+        for r in dedup_pipeline(images, cfg).verified_pairs.collect()
+    }
+
+    # stream the same rows in two file micro-batches
+    src = str(tmp_path / "stream_src")
+    images.filter(F.expr("pmod(phash, 2) = 0")).write.parquet(f"{src}/b0")
+    images.filter(F.expr("pmod(phash, 2) != 0")).write.parquet(f"{src}/b1")
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/b*")
+    )
+
+    inc = IncrementalDedup(spark, str(tmp_path / "state"), cfg)
+    q = inc.start(stream, trigger_available_now=True)
+    q.awaitTermination(300)
+
+    stream_pairs = {(r["a"], r["b"]) for r in inc.verified_pairs().collect()}
+    assert stream_pairs == batch_pairs
+
+    # clustering over streamed state matches batch assignments
+    batch_asg = {
+        (r["image_id"], r["cluster_id"])
+        for r in dedup_pipeline(images, cfg).assignments.collect()
+    }
+    stream_asg = {
+        (r["image_id"], r["cluster_id"]) for r in inc.assignments().collect()
+    }
+    assert stream_asg == batch_asg
