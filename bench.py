@@ -83,17 +83,20 @@ def run_dedup(spark) -> tuple[float, int, dict]:
     n = images.count()
     cfg = PipelineConfig()
 
-    # warmup: JVM codegen/JIT compile of every stage shape (~45 s of fixed
-    # cost that amortizes away entirely on any long-running cluster); the
-    # reported number is steady-state throughput
-    dedup_pipeline(images, cfg).assignments.write.mode("overwrite").format(
-        "noop"
-    ).save()
+    # warmup on a small slice: compiles every codegen/JIT stage shape (~45 s
+    # of fixed cost that amortizes away on any long-running cluster) WITHOUT
+    # caching the full profile — the timed run below then measures honest
+    # cold-cache steady-state including the signature stage
+    dedup_pipeline(images.limit(20000), cfg).assignments.write.mode(
+        "overwrite"
+    ).format("noop").save()
+    spark.catalog.clearCache()
 
     t0 = time.time()
     res = dedup_pipeline(images, cfg)
     res.assignments.write.mode("overwrite").format("noop").save()
     wall = time.time() - t0
+    spark.catalog.clearCache()
 
     # stage attribution (separate materializations; sums can exceed wall)
     stages = {}
@@ -121,6 +124,40 @@ def run_dedup(spark) -> tuple[float, int, dict]:
     return wall, n, stages
 
 
+def run_reference_nn_bench(spark) -> dict:
+    """The reference's own workload (n=65,536 unit vectors, d=128, k=2,
+    L=8, /root/reference/src/main.cc:203-238), queries scaled 8x (8,192
+    noisy copies) to amortize job overhead: build the signature table and
+    answer every query by probe + exact verify + argmax.  Reports wall sec
+    and queries/sec for comparison against BASELINE.md's analytic model."""
+    from lsh_project_spark.config import CrossPolytopeConfig
+    from lsh_project_spark.operators.knn import cp_nearest_neighbor
+    from lsh_project_spark.sources.vectors import noisy_queries, random_unit_vectors
+
+    n, d, q = 65536, 128, 8192
+    cfg = CrossPolytopeConfig(dim=d, k=2, num_tables=8)
+    data = random_unit_vectors(spark, n, d).persist()
+    data.count()
+    queries = noisy_queries(spark, data, q, d, n).persist()
+    queries.count()
+    # warmup (codegen) on a slice, then timed full run
+    cp_nearest_neighbor(data, queries.limit(256), cfg).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    t0 = time.time()
+    cp_nearest_neighbor(data, queries, cfg).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    wall = time.time() - t0
+    data.unpersist()
+    queries.unpersist()
+    return {
+        "ref_nn_wall_sec": round(wall, 2),
+        "ref_nn_queries_per_sec": round(q / wall, 1),
+        "ref_nn_config": f"n={n} d={d} q={q} k=2 L=8",
+    }
+
+
 def run_queries(spark) -> dict:
     import __spark_entry__ as E
 
@@ -140,6 +177,9 @@ def main() -> None:
     n_images = prepare_images(spark)
     wall, n, stages = run_dedup(spark)
     qsecs = run_queries(spark)
+    ref_nn = run_reference_nn_bench(spark) if os.environ.get(
+        "SPARK_GRAFT_REFBENCH", "1"
+    ) == "1" else {}
     result = {
         "metric": "dedup_e2e_wall_sec",
         "value": round(wall, 2),
@@ -149,26 +189,46 @@ def main() -> None:
         "images": n,
         "images_per_sec": round(n / wall, 1),
         "cores": CPUS,
+        **ref_nn,
     }
     spark.stop()
 
     if scaling:
+        from lsh_project_spark.config import PipelineConfig
+        from lsh_project_spark.pipeline import dedup_pipeline
+
+        lo_c, hi_c = (
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16").split(",")
+        )
         levels = []
-        for cores, shuffle in ((8, 64), (CPUS, 256)):
+        for cores, shuffle in ((lo_c, lo_c * 8), (hi_c, hi_c * 8)):
             s = _mk_spark(cores, shuffle)
-            w, n2, st = run_dedup(s)
-            # second run to damp JVM warmup noise; keep the faster
-            w2, _, st2 = run_dedup(s)
-            if w2 < w:
-                w, st = w2, st2
+            images = s.read.parquet(IMAGES_PATH)
+            n2 = images.count()
+            cfg = PipelineConfig()
+            # codegen/JIT warmup on a slice, then cold-cache timed runs
+            dedup_pipeline(images.limit(20000), cfg).assignments.write.mode(
+                "overwrite"
+            ).format("noop").save()
+            s.catalog.clearCache()
+            walls = []
+            for _ in range(2):
+                t = time.time()
+                dedup_pipeline(images, cfg).assignments.write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                walls.append(time.time() - t)
+                s.catalog.clearCache()
+            w = min(walls)
             levels.append(
                 {"cores": cores, "shuffle_partitions": shuffle,
                  "wall_sec": round(w, 2), "images_per_sec": round(n2 / w, 1),
-                 "stages": st}
+                 "runs": [round(x, 2) for x in walls]}
             )
             s.stop()
         eff = levels[1]["images_per_sec"] / (
-            (CPUS / 8) * levels[0]["images_per_sec"]
+            (hi_c / lo_c) * levels[0]["images_per_sec"]
         )
         result["scaling"] = {"levels": levels, "efficiency": round(eff, 3)}
         _write_scaling_report(levels, eff, n_images)
@@ -185,26 +245,20 @@ def _write_scaling_report(levels, eff, n_images) -> None:
             f"""# BENCH — two-parallelism-level scaling evidence
 
 Sandbox rendering of the BASELINE.json criterion "throughput scaling
-efficiency >= 0.8 between N and 4N executors": the identical dedup job on
-the identical input parquet ({n_images} images derived from
-{SF_DIR}/documents), run at two local parallelism levels, AQE on in both.
+efficiency >= 0.8 between N and 4N executors" (no real cluster is
+available here): the identical dedup job on the identical input parquet
+({n_images} images derived from {SF_DIR}/documents), run at two local
+parallelism levels.  AQE on in both; per level: codegen warmup on a 20k-row
+slice, caches cleared, then two timed cold-cache end-to-end runs (min
+reported).
 
-| level | cores | shuffle.partitions | wall sec | images/sec |
-|---|---|---|---|---|
-| N  | {lo['cores']} | {lo['shuffle_partitions']} | {lo['wall_sec']} | {lo['images_per_sec']} |
-| {ratio}N | {hi['cores']} | {hi['shuffle_partitions']} | {hi['wall_sec']} | {hi['images_per_sec']} |
+| level | cores | shuffle.partitions | runs (sec) | wall sec | images/sec |
+|---|---|---|---|---|---|
+| N  | {lo['cores']} | {lo['shuffle_partitions']} | {lo['runs']} | {lo['wall_sec']} | {lo['images_per_sec']} |
+| {ratio}N | {hi['cores']} | {hi['shuffle_partitions']} | {hi['runs']} | {hi['wall_sec']} | {hi['images_per_sec']} |
 
 **efficiency = throughput({ratio}N) / ({ratio} x throughput(N)) = {eff:.3f}**
-
-Per-stage wall sec:
-
-| stage | N={lo['cores']} | N={hi['cores']} |
-|---|---|---|
-""" + "\n".join(
-                f"| {k} | {lo['stages'].get(k, '-')} | {hi['stages'].get(k, '-')} |"
-                for k in lo["stages"]
-            )
-            + "\n"
+"""
         )
 
 

@@ -106,10 +106,12 @@ class PipelineConfig:
     jaccard_threshold: float = 0.5
     # skew control: buckets larger than this contribute star pairs instead
     # of all O(b^2) pairs (see operators/candidates.py).  True duplicate
-    # groups are overwhelmingly smaller; a bigger bucket is hash degeneracy.
+    # groups are overwhelmingly smaller; a bigger bucket is hash degeneracy
+    # (e.g. SimHash 14-bit bands at web scale sit near-uniformly at
+    # rows/2^14 members — quadratic pair generation there is catastrophic).
     # (The reference's analog caps buckets at 2^k = 4 slots with silent
     # drop, /root/reference/src/lsh.c:179-189 — ours keeps linear coverage.)
-    hot_bucket_threshold: int = 64
+    hot_bucket_threshold: int = 32
 
     def config_hash(self) -> str:
         return hashlib.sha256(

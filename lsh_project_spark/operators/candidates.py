@@ -30,7 +30,6 @@ def candidate_pairs(
     id_col: str = "image_id",
     bucket_cols: tuple[str, ...] = ("table_idx", "bucket"),
     hot_bucket_threshold: int = 2000,
-    max_pairs_per_bucket: int | None = None,
     persist: bool = True,
 ) -> DataFrame:
     """Signature table -> distinct (a, b) candidate pairs with a < b.
@@ -47,10 +46,12 @@ def candidate_pairs(
     bc = list(bucket_cols)
     sigs = signatures.select(*bc, F.col(id_col).alias("member"))
     if persist:
-        # the signature DAG (often a full MinHash/CP aggregation) feeds four
+        # the signature DAG (often a full Arrow-UDF profile) feeds four
         # consumers below (counts, cold x2, hot); without persistence Spark
         # recomputes it for each — at scale this is the difference between
-        # one signature pass and five
+        # one signature pass and five.  (A window-function count was tried
+        # instead of groupBy+join-back: one fewer shuffle on paper, but the
+        # per-bucket sort + lost AQE join planning measured ~2x slower.)
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     counts = sigs.groupBy(*bc).agg(F.count("*").alias("bucket_n"))
@@ -59,9 +60,14 @@ def candidate_pairs(
     cold = sized.filter(F.col("bucket_n") <= hot_bucket_threshold)
     hot = sized.filter(F.col("bucket_n") > hot_bucket_threshold)
 
+    # shuffle-hash joins: bucket keys are high-cardinality and bounded-size
+    # groups — hash join beats sort-merge (no per-side sort of the full
+    # signature table)
     left = cold.select(*bc, F.col("member").alias("a"))
     right = cold.select(*bc, F.col("member").alias("b"))
-    cold_pairs = left.join(right, bc).filter(F.col("a") < F.col("b"))
+    cold_pairs = left.join(right.hint("shuffle_hash"), bc).filter(
+        F.col("a") < F.col("b")
+    )
 
     # star pairs for hot buckets: member <-> min(member)
     hot_min = hot.groupBy(*bc).agg(F.min("member").alias("a"))

@@ -69,15 +69,18 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """(a, b) undirected edge list -> (id, cluster_id) for every non-isolated
     node.  Union the full node set downstream if singletons matter."""
+    # non-eager checkpoints: the checksum aggregate both materializes the
+    # round's checkpoint AND returns the convergence stats — one Spark job
+    # per round instead of two
     cur = (
         edges.select("a", "b")
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = _edge_checksum(cur)
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         cur_sum = _edge_checksum(cur)
         if cur_sum == prev_sum:
             break

@@ -41,34 +41,68 @@ from ..sources.codecs import phash_to_vector
 
 H32 = 1 << 32
 
+# hs holds h32 - 2^31 as int32 (bijective shift) — half the bytes of int64
+# through the verify join's shuffle; set intersection/union are unaffected
 PROFILE_SCHEMA = (
-    "image_id string, phash long, hs array<long>, cp_buckets array<long>, "
+    "image_id string, phash long, hs array<int>, cp_buckets array<long>, "
     "mh_bands array<long>, simhash long"
 )
 
 
-def _shingle_h60(text: str, k: int) -> np.ndarray:
-    """Distinct word k-shingles -> unique 60-bit portable hashes (int64).
-
-    One md5 per shingle serves every consumer: h32 = h60 % 2^32 feeds
-    MinHash and the verify sets; h56 = h60 >> 4 feeds SimHash (both
-    renderings match the engines' substring(md5, ...) expressions exactly).
-    """
+def _shingle_set(text: str, k: int) -> list[str]:
     toks = text.split(" ")
     if len(toks) <= k:
-        sh = [text]
-    else:
-        sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    vals = [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in sh]
-    return np.unique(np.array(vals, dtype=np.int64))
+        return [text]
+    return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
 
 
-def _simhash56_from_h60(h60: np.ndarray) -> int:
+def _caption_block(
+    texts: list[str], k: int, a: np.ndarray, b: np.ndarray, c: np.ndarray,
+    n_bands: int, rpb: int,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[int]]:
+    """Batch-vectorized caption signatures for a block of documents.
+
+    One md5 per *unique* shingle in the block (small vocabularies repeat
+    shingles heavily across docs); MinHash minima and SimHash bit votes run
+    as segment reductions (np.minimum/add.reduceat) over one flat matrix —
+    no per-document numpy call overhead.
+
+    Returns (hs int32 arrays, mh band arrays, simhash ints) per doc.
+    h32 = h60 % 2^32 (stored int32-shifted), h56 = h60 >> 4 — one digest
+    serves every consumer, matching the engines' substring(md5, ...)."""
+    P = PORTABLE_HASH_MOD
+    n = len(texts)
+    sh_lists = [_shingle_set(t, k) for t in texts]
+    lengths = np.array([len(s) for s in sh_lists], dtype=np.int64)
+    flat = np.array([s for lst in sh_lists for s in lst], dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    h60_uniq = np.fromiter(
+        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in uniq),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    h60 = h60_uniq[inv]
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+
+    h32 = h60 % H32
+    # minhash: [T, P] then segment-min per doc
+    vals = (h32[:, None] * a[None, :] + b[None, :]) % P
+    sig = np.minimum.reduceat(vals, starts, axis=0)  # [n, P]
+    terms = ((sig % H32) * c) % P
+    mh_bands = terms.reshape(n, n_bands, rpb).sum(axis=2)
+
+    # simhash: [T, 56] votes then segment-sum
     h56 = h60 >> 4
     bits = (h56[:, None] >> np.arange(56, dtype=np.int64)[None, :]) & 1
-    votes = (2 * bits - 1).sum(axis=0)
-    fp = np.where(votes > 0, np.int64(1) << np.arange(56, dtype=np.int64), 0).sum()
-    return int(fp)
+    votes = np.add.reduceat(2 * bits - 1, starts, axis=0)  # [n, 56]
+    weights = np.int64(1) << np.arange(56, dtype=np.int64)
+    simhashes = np.where(votes > 0, weights[None, :], 0).sum(axis=1)
+
+    hs32 = (h32 - (1 << 31)).astype(np.int32)
+    ends = starts + lengths
+    hs_list = [np.unique(hs32[starts[i] : ends[i]]) for i in range(n)]
+    return hs_list, list(mh_bands), [int(x) for x in simhashes]
 
 
 def multimodal_profile(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -92,19 +126,18 @@ def multimodal_profile(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
             x = phash_to_vector(pdf["phash"].to_numpy())
             y = (x @ rot2d).reshape(n, L, k, d)
             cp_buckets = concat_hashes(cp_hash(y), d)  # [n, L]
-            # --- captions
+            # --- captions, in sub-blocks so the [shingles, num_perm]
+            # minhash matrix stays ~100 MB
             hs_list, mh_list, sim_list = [], [], []
-            for text in pdf["caption"]:
-                h60 = _shingle_h60(text, shingle_k)
-                hs = np.unique(h60 % H32)
-                # minhash: [P] mins over shingle hashes
-                mh = (a[None, :] * hs[:, None] + b[None, :]) % P
-                sig = mh.min(axis=0)
-                terms = ((sig % H32) * c) % P
-                bands = terms.reshape(n_bands, rpb).sum(axis=1)
-                hs_list.append(hs)
-                mh_list.append(bands)
-                sim_list.append(_simhash56_from_h60(h60))
+            texts = pdf["caption"].tolist()
+            block = 2048
+            for lo in range(0, n, block):
+                h, m, s = _caption_block(
+                    texts[lo : lo + block], shingle_k, a, b, c, n_bands, rpb
+                )
+                hs_list.extend(h)
+                mh_list.extend(m)
+                sim_list.extend(s)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],

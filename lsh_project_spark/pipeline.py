@@ -120,6 +120,14 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
 
     cfg = cfg or PipelineConfig()
     slim = images.select("image_id", "caption", "phash")
+    # the Arrow profile stage parallelizes over INPUT partitions; a compact
+    # parquet (few row groups) would starve the Python workers.  Only
+    # repartition when the scan is narrower than the cluster — at real
+    # scale inputs have plenty of splits and this is a no-op.
+    spark = images.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target)
     profile = multimodal_profile(slim, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = profile_signatures(profile, cfg)
     cands = candidate_pairs(

@@ -223,6 +223,53 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per user, a new session starts after a > 30 min gap
+    (window lag + running sum) — the standard event-stream pattern."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .withColumn(
+            "new_session",
+            F.expr(
+                "case when prev_ts is null or "
+                "(unix_timestamp(ts) - unix_timestamp(prev_ts)) > 1800 "
+                "then 1 else 0 end"
+            ),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("new_session").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.expr("cast(max(unix_timestamp(ts)) - min(unix_timestamp(ts)) as bigint)").alias(
+            "duration_sec"
+        ),
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over orders (grouping-sets capability)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("round(sum(o_totalprice), 4)").alias("total_price"),
+        )
+    )
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + agg + top-k: revenue by customer (TPC-H Q10 flavor)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -295,6 +342,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "events_hourly": q_events_hourly,
+    "event_sessions": q_event_sessions,
+    "orders_rollup": q_orders_rollup,
     "top_customers": q_top_customers,
     "substring_pairs": q_substring_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -427,6 +476,32 @@ FROM shingled GROUP BY doc_id
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "event_sessions": """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+              OR (epoch(ts) - epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+),
+sessed AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       cast(max(epoch(ts)) - min(epoch(ts)) AS BIGINT) AS duration_sec
+FROM sessed GROUP BY user_id, session_idx
+""",
+        "orders_rollup": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
         "top_customers": """
 SELECT c.c_custkey, c.c_name,

@@ -149,11 +149,12 @@ def images_from_documents(docs, seed: int = 42, size: int = 64, tiles: int = 1):
     perturbations (not re-derived from bytes); the dedup pipeline consumes
     only (image_id, caption, phash)."""
 
-    def _tile_phash(ph: int, rn: np.random.Generator) -> int:
-        mask = 0
-        for bit in rn.choice(64, size=16, replace=False):
-            mask |= 1 << int(bit)
-        v = (ph & ((1 << 64) - 1)) ^ mask
+    def _tile_phash(rn: np.random.Generator) -> int:
+        # independent random phash per tile (bit-flip perturbations of the
+        # base would leave every tile at cos 0.5 from its family — a
+        # correlation structure real corpora don't have, which floods the
+        # CP buckets with candidate pairs)
+        v = int(rn.integers(0, 1 << 63)) | (int(rn.integers(0, 2)) << 63)
         return v - (1 << 64) if v >= (1 << 63) else v
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -185,18 +186,25 @@ def images_from_documents(docs, seed: int = 42, size: int = 64, tiles: int = 1):
                         for pos in rt.choice(len(toks), size=n_sub, replace=False):
                             toks[pos] = _VOCAB[int(rt.integers(0, len(_VOCAB)))]
                         cap = " ".join(toks)
-                        p0 = _tile_phash(ph, rt)
+                        p0 = _tile_phash(rt)
                         # dup variant: 2 extra flips off the tile phash
                         p1 = (p0 ^ (1 | (1 << 33))) if has_dup else None
                     cid = doc_id * 1000 + t
+                    # tiles > 0 carry null bytes: the dedup pipeline reads
+                    # only (image_id, caption, phash), and parquet column
+                    # pruning means an unread binary column costs nothing —
+                    # storing 10-100x duplicated image bytes in the sandbox
+                    # would only burn disk, not change any measured work
                     rows.append(
-                        {"image_id": f"img{doc_id:09d}_t{t}_0", "bytes": data,
+                        {"image_id": f"img{doc_id:09d}_t{t}_0",
+                         "bytes": data if t == 0 else None,
                          "w": size, "h": size, "fmt": fmt, "caption": cap,
                          "phash": p0, "true_cluster_id": cid}
                     )
                     if has_dup:
                         rows.append(
-                            {"image_id": f"img{doc_id:09d}_t{t}_1", "bytes": d2,
+                            {"image_id": f"img{doc_id:09d}_t{t}_1",
+                             "bytes": d2 if t == 0 else None,
                              "w": size, "h": size, "fmt": "jpeg", "caption": cap,
                              "phash": p1, "true_cluster_id": cid}
                         )

@@ -36,9 +36,12 @@ def test_profile_matches_component_oracles(spark):
         assert list(r["mh_bands"]) == list(expect_mh)
         # SimHash == python oracle
         assert r["simhash"] == simhash64(caption)
-        # shingle-hash set == oracle shingles hashed
+        # shingle-hash set == oracle shingles hashed (int32-shifted)
         expect_hs = sorted(
-            {portable_hash60_py(s) % (1 << 32) for s in shingles(caption, cfg.minhash.shingle_size)}
+            {
+                (portable_hash60_py(s) % (1 << 32)) - (1 << 31)
+                for s in shingles(caption, cfg.minhash.shingle_size)
+            }
         )
         assert sorted(r["hs"]) == expect_hs
 
