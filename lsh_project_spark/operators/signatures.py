@@ -54,13 +54,14 @@ def cp_signature_table(
             n = len(pdf)
             yield pd.DataFrame(
                 {
-                    "image_id": np.repeat(pdf[id_col].to_numpy(), L),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), L),
                     "table_idx": np.tile(np.arange(L, dtype=np.int32), n),
                     "bucket": buckets.reshape(-1),
                 }
             )
 
-    schema = f"{id_col} string, table_idx int, bucket long"
+    id_type = dict(features.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, table_idx int, bucket long"
     return features.mapInPandas(sign, schema=schema)
 
 

@@ -32,7 +32,8 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.expr(f"size(array_distinct({toks}))").alias("n_distinct_tokens"),
         F.expr(f"length({text_col})").alias("n_chars"),
         F.expr(
-            f"aggregate({toks}, 0, (acc, t) -> acc + cast(ceil(length(t) / 4.0) as int))"
+            f"aggregate({toks}, cast(0 as bigint), "
+            f"(acc, t) -> acc + cast(ceil(length(t) / 4.0) as bigint))"
         ).alias("n_subwords_est"),
     )
 
@@ -87,15 +88,23 @@ def doc_fingerprint(
 ) -> DataFrame:
     """Document fingerprinting: bottom-k sketch of word 3-shingle hashes
     (a rolling-hash winnowing analog that is exactly SQL-expressible).
-    Two docs' fingerprints overlap iff they share low-hash shingles."""
+    Two docs' fingerprints overlap iff they share low-hash shingles.
+
+    Output is exploded to (doc_id, rank, hash) scalar rows — rank 1 = the
+    smallest hash — so the sketch is canonical for row-wise comparison."""
     from ..functions.hashing import spark_hash60
 
-    return docs.select(
+    fp = docs.select(
         F.col(id_col),
         F.expr(
             f"slice(array_sort(transform({shingle_expr_sql(text_col, 3)}, "
             f"s -> {spark_hash60('s')})), 1, {bottom_k})"
         ).alias("fingerprint"),
+    )
+    return fp.select(
+        id_col, F.posexplode("fingerprint").alias("pos", "hash")
+    ).select(
+        id_col, F.expr("cast(pos + 1 as bigint)").alias("rank"), "hash"
     )
 
 

@@ -373,7 +373,8 @@ shingled AS (SELECT doc_id, unnest(shs) AS shingle FROM shl)
         "minhash_bucket_occupancy": f"""
 WITH bands AS ({mh})
 SELECT band_idx, count(*) AS num_buckets,
-       sum(CASE WHEN bucket_n >= 2 THEN bucket_n ELSE 0 END) AS rows_in_shared_buckets,
+       CAST(sum(CASE WHEN bucket_n >= 2 THEN bucket_n ELSE 0 END) AS BIGINT)
+         AS rows_in_shared_buckets,
        max(bucket_n) AS max_bucket
 FROM (SELECT band_idx, band_hash, count(*) AS bucket_n FROM bands
       GROUP BY band_idx, band_hash)
@@ -440,8 +441,8 @@ SELECT doc_id,
        len(t) AS n_tokens,
        len(list_distinct(t)) AS n_distinct_tokens,
        length(text) AS n_chars,
-       list_sum(list_transform(t, x -> cast(ceil(length(x) / 4.0) AS INT)))
-         AS n_subwords_est
+       CAST(list_sum(list_transform(t, x -> cast(ceil(length(x) / 4.0) AS INT)))
+            AS BIGINT) AS n_subwords_est
 FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
 """,
         "quality_score": """
@@ -467,10 +468,15 @@ SELECT doc_id,
 FROM scored GROUP BY doc_id
 """,
         "doc_fingerprint": f"""
-WITH {_SHINGLE_CTE_FULL}
-SELECT doc_id,
-       (list_sort(list({duckdb_hash60('shingle')})))[1:8] AS fingerprint
-FROM shingled GROUP BY doc_id
+WITH {_SHINGLE_CTE_FULL},
+fps AS (
+  SELECT doc_id,
+         (list_sort(list({duckdb_hash60('shingle')})))[1:8] AS fp
+  FROM shingled GROUP BY doc_id
+)
+SELECT doc_id, CAST(r.r AS BIGINT) AS rank, fp[r.r] AS hash
+FROM fps, range(1, 9) r(r)
+WHERE r.r <= len(fp)
 """,
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -486,7 +492,8 @@ WITH lagged AS (
 flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN prev_ts IS NULL
-              OR (epoch(ts) - epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session
+              OR (floor(epoch(ts)) - floor(epoch(prev_ts))) > 1800
+              THEN 1 ELSE 0 END AS new_session
   FROM lagged
 ),
 sessed AS (
@@ -495,7 +502,7 @@ sessed AS (
   FROM flagged
 )
 SELECT user_id, session_idx, count(*) AS n_events,
-       cast(max(epoch(ts)) - min(epoch(ts)) AS BIGINT) AS duration_sec
+       CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_sec
 FROM sessed GROUP BY user_id, session_idx
 """,
         "orders_rollup": """

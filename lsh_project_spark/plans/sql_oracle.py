@@ -61,7 +61,7 @@ mh AS (
   GROUP BY h.doc_id, p.perm, p.band_idx, p.c
 )
 SELECT doc_id, band_idx,
-       sum(((mh % 4294967296) * c) % {P}) AS band_hash
+       CAST(sum(((mh % 4294967296) * c) % {P}) AS BIGINT) AS band_hash
 FROM mh
 GROUP BY doc_id, band_idx
 """
@@ -85,7 +85,8 @@ votes AS (
   GROUP BY doc_id, b.b
 )
 SELECT doc_id,
-       sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes
 GROUP BY doc_id
 """

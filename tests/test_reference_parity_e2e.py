@@ -82,7 +82,14 @@ def test_text_format_roundtrip(spark, tmp_path, nn_fixture):
 @pytest.mark.slow
 def test_reference_config_recall(spark):
     """Full reference scale: n=65536, d=128, q=1024, k=2, L=8
-    (/root/reference/src/main.cc:203-238)."""
+    (/root/reference/src/main.cc:203-238).
+
+    The reference binary itself (compiled with its own Makefile flags and
+    run at this exact config) reports 65.53% neighbours found — the
+    0.95x+0.05N query noise at d=128 gives cos(q,x)~=0.86, and k=2/L=8
+    cross-polytope recall at that angle is ~2/3.  Parity bar: within 5
+    points of the measured reference recall (LSH is seeded differently,
+    so exact bucket outcomes differ; the distribution must match)."""
     n, d, q = 65536, 128, 1024
     data = random_unit_vectors(spark, n, d, seed=49628583).cache()
     data.count()
@@ -94,5 +101,5 @@ def test_reference_config_recall(spark):
         for r in cp_nearest_neighbor(data, queries, cfg).collect()
     }
     recall = sum(1 for qid, nn in truth.items() if pred.get(qid) == nn) / len(truth)
-    # the reference prints ~0.9+ at this config; LSH is probabilistic
-    assert recall >= 0.85, recall
+    REFERENCE_MEASURED_RECALL = 0.6553  # see BASELINE.md "measured run"
+    assert abs(recall - REFERENCE_MEASURED_RECALL) <= 0.05, recall
