@@ -43,10 +43,11 @@ H32 = 1 << 32
 
 # hs holds h32 - 2^31 as int32 (bijective shift) — half the bytes of int64
 # through the verify join's shuffle; set intersection/union are unaffected
-PROFILE_SCHEMA = (
-    "image_id string, phash long, hs array<int>, cp_buckets array<long>, "
-    "mh_bands array<long>, simhash long"
-)
+def profile_schema(id_type: str = "string") -> str:
+    return (
+        f"image_id {id_type}, phash long, hs array<int>, cp_buckets array<long>, "
+        "mh_bands array<long>, simhash long"
+    )
 
 
 def _shingle_set(text: str, k: int) -> list[str]:
@@ -106,7 +107,7 @@ def _caption_block(
 
 
 def multimodal_profile(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """images(image_id, caption, phash) -> profile DF (see PROFILE_SCHEMA)."""
+    """images(image_id, caption, phash) -> profile DF (see profile_schema)."""
     P = PORTABLE_HASH_MOD
     mh_cfg = cfg.minhash
     a, b, c = minhash_params(mh_cfg.num_perm, mh_cfg.seed)
@@ -150,7 +151,7 @@ def multimodal_profile(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
             )
 
     return images.select("image_id", "caption", "phash").mapInPandas(
-        run, schema=PROFILE_SCHEMA
+        run, schema=profile_schema(dict(images.dtypes)["image_id"])
     )
 
 

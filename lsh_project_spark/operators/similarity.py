@@ -99,6 +99,117 @@ def hyperplane_signatures(
     )
 
 
+def auto_bits(n: int, target_bucket: int = 8, floor_bits: int = 4) -> int:
+    """Bucket-key width scaled to corpus size: ~log2(n / target_bucket),
+    computed with integer arithmetic so every engine derives the same value.
+    Keeps expected bucket occupancy ~constant as n grows — candidate count
+    per query stays O(target_bucket * L) instead of O(n / 2^bits_fixed)."""
+    return max(floor_bits, ((max(n, 1) - 1) // target_bucket).bit_length())
+
+
+def rademacher_planes(
+    seed: int, num_tables: int, max_bits: int, dim: int
+) -> list[list[str]]:
+    """Deterministic ±1 hyperplanes rendered as '+'/'-' strings (one char
+    per dimension) — a form every engine can consume: Spark and DuckDB
+    parse the same literal, numpy maps it to a ±1 matrix.  Sign-LSH with
+    Rademacher planes has the same collision geometry as Gaussian planes
+    (Achlioptas '01 sparse/binary projections)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    bits = rng.integers(0, 2, size=(num_tables, max_bits, dim))
+    return [
+        ["".join("+" if b else "-" for b in row) for row in tbl] for tbl in bits
+    ]
+
+
+ANN_SEED = 240817
+ANN_MAX_BITS = 16
+
+
+def _portable_dot(vec_col: str, plane_var: str, dim: int) -> str:
+    """Spark SQL: sequential-fold dot of ``vec_col`` with a '+/-' plane
+    string — products are exactly ±x_i, evaluated left-to-right in double,
+    mirroring the DuckDB oracle's list comprehension order."""
+    return (
+        f"aggregate(zip_with({vec_col}, transform(sequence(0, {dim - 1}), "
+        f"i -> case when substring({plane_var}, i + 1, 1) = '+' "
+        f"then cast(1.0 as double) else cast(-1.0 as double) end), "
+        f"(x, h) -> cast(x as double) * h), cast(0 as double), (a, v) -> a + v)"
+    )
+
+
+def portable_signatures(
+    vectors: DataFrame, planes: list[list[str]], bits: int,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """(id, vec) -> (id, table_idx, bucket) with JVM-only expressions and
+    engine-portable sign decisions (see rademacher_planes)."""
+    hp_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"'{s}'" for s in tbl[:bits]) + ")" for tbl in planes
+    ) + ")"
+    dot = _portable_dot(vec_col, "element_at(tbl, j + 1)", dim)
+    buckets = (
+        f"transform({hp_lit}, tbl -> aggregate(sequence(0, {bits - 1}), "
+        f"cast(0 as bigint), (acc, j) -> acc + case when ({dot}) > 0 "
+        f"then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end))"
+    )
+    return vectors.select(
+        id_col, F.posexplode(F.expr(buckets)).alias("table_idx", "bucket")
+    )
+
+
+def ann_topk_portable(
+    vectors: DataFrame, queries: DataFrame, k: int = 5, num_tables: int = 8,
+    bits: int | None = None, id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "query_id", dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH ANN with cross-engine-portable hashing: candidates from
+    shared (table, bucket), exact cosine re-rank, top-k.  ``bits`` defaults
+    to auto_bits(n) so bucket occupancy — and therefore per-query candidate
+    count — stays ~constant as the corpus grows."""
+    if bits is None:
+        bits = auto_bits(vectors.count())
+    planes = rademacher_planes(ANN_SEED, num_tables, ANN_MAX_BITS, dim)
+    vsig = portable_signatures(vectors, planes, bits, id_col, vec_col, dim)
+    qsig = portable_signatures(
+        queries.withColumnRenamed(qid_col, id_col), planes, bits, id_col,
+        vec_col, dim,
+    ).withColumnRenamed(id_col, qid_col)
+    cands = (
+        qsig.join(vsig, ["table_idx", "bucket"])
+        .filter(F.col(qid_col) != F.col(id_col))
+        .select(qid_col, id_col)
+        .dropDuplicates([qid_col, id_col])
+    )
+    dot = (
+        f"aggregate(zip_with(qv, {vec_col}, (x, y) -> cast(x as double) * "
+        f"cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+    )
+    nq = (
+        "sqrt(aggregate(transform(qv, x -> cast(x as double) * cast(x as double)), "
+        "cast(0 as double), (acc, v) -> acc + v))"
+    )
+    nd = (
+        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * "
+        f"cast(x as double)), cast(0 as double), (acc, v) -> acc + v))"
+    )
+    scored = (
+        cands.join(queries.select(qid_col, F.col(vec_col).alias("qv")), qid_col)
+        .join(vectors.select(id_col, vec_col), id_col)
+        .select(
+            qid_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(f"({dot}) / (({nq}) * ({nd}))").alias("cos"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", "neighbor_id")
+    )
+
+
 def ann_topk_lsh(
     vectors: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     num_tables: int = 8, bits: int = 16,

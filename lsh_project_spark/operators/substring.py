@@ -33,27 +33,41 @@ from ..config import SubstringConfig
 from ..functions.suffix import longest_common_substring_len
 from .candidates import candidate_pairs
 
-_B = 1000003  # polynomial rolling-hash base
-_M = (1 << 61) - 1
+_B = 1000003  # polynomial hash base (shared by both lanes)
+# two coprime 31-bit prime moduli; the pair (h1, h2) packs into one 62-bit
+# fingerprint.  31-bit lanes keep every numpy intermediate inside int64:
+# byte * weight < 2^39, k-term dot < k * 2^62/k, see _gram_dot.
+_M1 = (1 << 31) - 1  # Mersenne prime 2147483647
+_M2 = 2147483629  # largest prime below it
+
+
+def _gram_dot(win: np.ndarray, mod: int, k: int) -> np.ndarray:
+    """Polynomial hash of each row of ``win`` ([n, k] uint8) mod ``mod``:
+    h[i] = sum_j win[i, j] * B^(k-1-j) mod ``mod``.  One BLAS float64
+    matvec then one mod: every product < 256 * 2^31 = 2^39 and the k-term
+    sum < k * 2^39 < 2^53 for k <= 512, so the float64 arithmetic is
+    EXACT (no rounding).  ``win`` must already be float64."""
+    assert k <= 512, "k-gram too wide for exact float64 accumulation"
+    w = np.array([pow(_B, k - 1 - j, mod) for j in range(k)], dtype=np.float64)
+    return (win @ w).astype(np.int64) % mod
 
 
 def _kgram_hashes(text: str, k: int) -> np.ndarray:
-    """Rolling polynomial hashes of all char k-grams, vectorized."""
-    x = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    """62-bit fingerprints of all char k-grams, fully vectorized numpy
+    (sliding_window_view + one batched multiply-accumulate per 31-bit
+    lane; no per-character Python).  Equal grams always hash equal, so
+    the winnowing recall guarantee is hash-scheme independent; the 62-bit
+    space only controls false-candidate rate before exact verify."""
+    x = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     n = len(x)
     if n < k:
         return np.empty(0, dtype=np.int64)
-    # hash[i] = sum x[i+j] * B^(k-1-j) mod M, computed by rolling update
-    powk = pow(_B, k - 1, _M)
-    out = np.empty(n - k + 1, dtype=np.int64)
-    h = 0
-    for j in range(k):
-        h = (h * _B + int(x[j])) % _M
-    out[0] = h
-    for i in range(1, n - k + 1):
-        h = ((h - int(x[i - 1]) * powk) * _B + int(x[i + k - 1])) % _M
-        out[i] = h % _M
-    return out % _M
+    win = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(x, k), dtype=np.float64
+    )
+    h1 = _gram_dot(win, _M1, k)
+    h2 = _gram_dot(win, _M2, k)
+    return h1 * _M2 + h2  # < 2^31 * 2^31 + 2^31 < 2^62
 
 
 def winnowed_fingerprints(

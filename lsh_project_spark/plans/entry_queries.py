@@ -22,7 +22,11 @@ from ..operators.signatures import (
     shingle_expr,
     simhash_table,
 )
-from .sql_oracle import duckdb_minhash_bands_sql, duckdb_simhash_sql
+from .sql_oracle import (
+    duckdb_dedup_clusters_sql,
+    duckdb_minhash_bands_sql,
+    duckdb_simhash_sql,
+)
 
 MH_CFG = MinHashConfig()
 SH_CFG = SimHashConfig()
@@ -299,26 +303,39 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH approximate top-5 for the same query set as embedding_topk
-    (rows-only; float sign boundaries are not bit-portable to DuckDB)."""
-    from ..operators.similarity import ann_topk_lsh
+    """Sign-LSH approximate top-5 for the same query set as embedding_topk,
+    with engine-portable hashing (Rademacher '+/-' plane literals and a
+    sequential-fold double dot product on both engines), so the DuckDB
+    oracle reproduces the LSH result bit-exactly.  Bucket width scales
+    with corpus size (auto_bits) — candidate count per query stays
+    ~constant as n grows instead of degenerating toward a cross join."""
+    from ..operators.similarity import ann_topk_portable
 
     e = _emb(spark, sf_dir)
     q = e.filter(F.expr("vec_id % 50 = 0")).withColumnRenamed("vec_id", "query_id")
-    return ann_topk_lsh(e, q, dim=64, k=5, num_tables=8, bits=6).select(
-        "query_id", "rank", "neighbor_id"
-    )
+    return ann_topk_portable(e, q, k=5, num_tables=8)
 
 
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship pipeline on images derived from documents -> cluster-size
-    histogram (rows-only: CC is iterative, not single-statement SQL)."""
+    """Full dedup pipeline (multimodal signatures -> candidates -> exact
+    verify -> connected components) on the SQL-portable images table ->
+    cluster-size histogram.  The DuckDB oracle reconstructs the identical
+    images table, re-derives MinHash/SimHash band collisions bit-exactly,
+    adds the exhaustive Hamming<=tau pair set (a superset of what CP-LSH
+    can find), verifies with the same criterion, and resolves components
+    with a recursive CTE — so the whole iterative pipeline is gated
+    hash-exactly, not rows-only.
+
+    phash_hamming_threshold=6 (vs default 10) keeps accidental Hamming
+    pairs between random 60-bit phashes at ~1e-3 expected for this table
+    size, so the exhaustive oracle and the LSH engine see the same pair
+    set; planted near-dup pairs sit at Hamming 2."""
     from ..config import PipelineConfig
     from ..pipeline import dedup_pipeline
-    from ..sources.fixtures import images_from_documents
+    from ..sources.fixtures import images_portable
 
-    images = images_from_documents(_docs(spark, sf_dir), seed=42)
-    res = dedup_pipeline(images, PipelineConfig())
+    images = images_portable(_docs(spark, sf_dir))
+    res = dedup_pipeline(images, PipelineConfig(phash_hamming_threshold=6))
     return (
         res.assignments.groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"))
@@ -510,6 +527,36 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 4) AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
+        "dedup_cluster_sizes": duckdb_dedup_clusters_sql(MH_CFG),
+        "ann_lsh_topk": _ann_oracle_sql(),
+        "substring_pairs": """
+-- exact oracle for the winnowing + suffix-array pass: two docs pair iff
+-- they share an exact 50-char substring; lcs_len = 49 + the longest run
+-- of consecutive shared 50-grams on one alignment diagonal (a common
+-- substring of length L >= 50 produces exactly L-49 consecutive shared
+-- 50-grams at constant i-j; the converse also holds, so this is the
+-- exact longest-common-substring length).
+WITH grams AS (
+  SELECT doc_id, i, substring(text, CAST(i AS INT), 50) AS g
+  FROM documents, LATERAL (
+    SELECT unnest(range(1, length(text) - 50 + 2)) AS i
+  ) p
+  WHERE length(text) >= 50
+),
+m AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.i AS ia,
+         x.i - y.i AS diag,
+         x.i - row_number() OVER (
+           PARTITION BY x.doc_id, y.doc_id, x.i - y.i ORDER BY x.i
+         ) AS island
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+),
+runs AS (
+  SELECT a, b, count(*) AS run FROM m GROUP BY a, b, diag, island
+)
+SELECT a, b, CAST(49 + max(run) AS BIGINT) AS lcs_len
+FROM runs GROUP BY a, b
+""",
         "top_customers": """
 SELECT c.c_custkey, c.c_name,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
@@ -521,6 +568,14 @@ ORDER BY revenue DESC, c.c_custkey
 LIMIT 10
 """,
     }
+
+
+def _ann_oracle_sql() -> str:
+    from ..operators.similarity import ANN_MAX_BITS, ANN_SEED, rademacher_planes
+    from .sql_oracle import duckdb_ann_topk_sql
+
+    planes = rademacher_planes(ANN_SEED, num_tables=8, max_bits=ANN_MAX_BITS, dim=64)
+    return duckdb_ann_topk_sql(planes, k=5, dim=64, query_mod=50)
 
 
 def _lang_markers_values() -> str:

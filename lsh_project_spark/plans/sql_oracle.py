@@ -9,7 +9,7 @@ engines; this module renders the DuckDB side.
 from __future__ import annotations
 
 from ..config import MinHashConfig
-from ..functions.hashing import PORTABLE_HASH_MOD, minhash_params
+from ..functions.hashing import PORTABLE_HASH_MOD, duckdb_hash60, minhash_params
 
 P = PORTABLE_HASH_MOD
 
@@ -64,6 +64,149 @@ SELECT doc_id, band_idx,
        CAST(sum(((mh % 4294967296) * c) % {P}) AS BIGINT) AS band_hash
 FROM mh
 GROUP BY doc_id, band_idx
+"""
+
+
+def duckdb_dedup_clusters_sql(
+    mh_cfg: MinHashConfig,
+    sim_bits: int = 56,
+    sim_bands: int = 4,
+    hamming_tau: int = 6,
+    jaccard_tau: float = 0.5,
+) -> str:
+    """DuckDB twin of the FULL dedup pipeline on the portable images table
+    (sources/fixtures.images_portable): rebuild the identical table, derive
+    MinHash + SimHash band collisions bit-exactly, add the exhaustive
+    Hamming<=tau pair set (superset of CP-LSH candidates), verify with the
+    engine's criterion, resolve connected components with a recursive CTE,
+    and emit the cluster-size histogram."""
+    mask = 1 | (1 << 33)
+    band_bits = sim_bits // sim_bands
+    mh = duckdb_minhash_bands_sql(mh_cfg, "imgs")
+    sh = duckdb_simhash_sql(sim_bits, "imgs")
+    k = mh_cfg.shingle_size
+    return f"""
+WITH RECURSIVE imgs AS (
+  SELECT CAST(doc_id * 1000 AS BIGINT) AS doc_id, text,
+         {duckdb_hash60("concat('img', doc_id)")} AS phash
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id * 1000 + 1 AS BIGINT), text,
+         xor({duckdb_hash60("concat('img', doc_id)")}, {mask})
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT CAST(doc_id * 1000 + 2 AS BIGINT), text,
+         {duckdb_hash60("concat('alt', doc_id)")}
+  FROM documents WHERE doc_id % 5 = 0
+),
+mhb AS (SELECT * FROM ({mh})),
+shf AS (SELECT * FROM ({sh})),
+shb AS (
+  SELECT doc_id, bb.b AS band_idx,
+         (simhash >> (bb.b * {band_bits})) & {(1 << band_bits) - 1} AS band_hash
+  FROM shf, (SELECT unnest(range(0, {sim_bands})) AS b) bb
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM mhb x JOIN mhb y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
+  UNION
+  SELECT x.doc_id, y.doc_id
+  FROM shb x JOIN shb y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
+  UNION
+  SELECT x.doc_id, y.doc_id
+  FROM imgs x JOIN imgs y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.phash, y.phash)) <= {hamming_tau}
+),
+shs AS (
+  SELECT doc_id,
+    CASE WHEN len(t) <= {k} THEN [text]
+         ELSE list_distinct([array_to_string(t[i + 1 : i + {k}], ' ')
+                             for i in range(0, len(t) - {k} + 1)])
+    END AS s
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM imgs)
+),
+feat AS (
+  SELECT i.doc_id, i.phash, s.s FROM imgs i JOIN shs s USING (doc_id)
+),
+edges AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN feat fa ON c.a = fa.doc_id
+  JOIN feat fb ON c.b = fb.doc_id
+  WHERE bit_count(xor(fa.phash, fb.phash)) <= {hamming_tau}
+     OR CAST(len(list_intersect(fa.s, fb.s)) AS DOUBLE)
+        / (len(fa.s) + len(fb.s) - len(list_intersect(fa.s, fb.s)))
+        >= {jaccard_tau}
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+walk(id, comp) AS (
+  SELECT doc_id, doc_id FROM imgs
+  UNION
+  SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.id
+),
+labels AS (SELECT id, min(comp) AS cluster FROM walk GROUP BY id),
+sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
+SELECT cluster_size, count(*) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+def duckdb_ann_topk_sql(
+    planes: list[list[str]], k: int = 5, dim: int = 64,
+    query_mod: int = 50, target_bucket: int = 8,
+) -> str:
+    """DuckDB twin of operators/similarity.ann_topk_portable: identical
+    '+/-' hyperplane literals, identical integer bits-from-count formula
+    (GREATEST(4, bit_length((n-1) // target))), sequential-order double
+    dot products, exact cosine re-rank."""
+    hp_rows = ", ".join(
+        f"({t}, {j}, '{s}')"
+        for t, tbl in enumerate(planes)
+        for j, s in enumerate(tbl)
+    )
+    return f"""
+WITH params AS (
+  SELECT GREATEST(4, length(bin(CAST((count(*) - 1) // {target_bucket} AS BIGINT)))) AS bits
+  FROM embeddings
+),
+hp(t, j, s) AS (SELECT * FROM (VALUES {hp_rows})),
+sig AS (
+  SELECT e.vec_id, h.t AS table_idx,
+         CAST(sum(CASE WHEN list_sum([
+             CASE WHEN substring(h.s, i + 1, 1) = '+'
+                  THEN CAST(e.embedding[i + 1] AS DOUBLE)
+                  ELSE -CAST(e.embedding[i + 1] AS DOUBLE) END
+             for i in range(0, {dim})]) > 0
+           THEN (CAST(1 AS BIGINT) << h.j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN hp h
+  WHERE h.j < (SELECT bits FROM params)
+  GROUP BY e.vec_id, h.t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+  FROM sig q JOIN sig v ON q.table_idx = v.table_idx AND q.bucket = v.bucket
+  WHERE q.vec_id % {query_mod} = 0 AND v.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(qe.embedding, ve.embedding)
+           / (sqrt(list_dot_product(qe.embedding, qe.embedding))
+              * sqrt(list_dot_product(ve.embedding, ve.embedding))) AS cos
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ve ON ve.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
 """
 
 

@@ -21,6 +21,13 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(8, cores * 8)
+    # One BLAS thread per Python worker: task-level parallelism already
+    # saturates the cores, and N workers x N-thread BLAS oversubscribes
+    # N^2 threads — measured 5-20x slowdown on the small per-batch matvecs
+    # the signature/fingerprint stages run.  Same setting a real cluster
+    # ships via spark.executorEnv.*.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -46,6 +53,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

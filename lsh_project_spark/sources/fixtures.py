@@ -228,3 +228,47 @@ def images_table(spark, num_clusters: int, seed: int = 42, size: int = 64,
         spark.range(0, num_clusters, 1, parts)
         .mapInPandas(gen, schema=IMAGES_SCHEMA)
     )
+
+
+def images_portable(docs):
+    """SQL-portable images table for the driver's oracle gate: every column
+    is a JVM/DuckDB-expressible function of (doc_id, text), so the DuckDB
+    oracle can reconstruct the identical table and check the FULL dedup
+    pipeline (candidates -> verify -> connected components) hash-exactly.
+
+    Structure (image_id = doc_id*1000 + variant):
+      v0: every doc          caption = text, phash = hash60('img'||doc_id)
+      v1: doc_id % 3 == 0    caption = text (identical), phash = v0 ^ 2 bits
+                             -> verified via Hamming AND Jaccard; candidate
+                                via all 16 MinHash bands (certainty: equal
+                                captions give equal signatures)
+      v2: doc_id % 5 == 0    caption = text, phash = hash60('alt'||doc_id)
+                             -> verified via Jaccard only (random phash)
+    Natural near-duplicate captions inside `documents` add further edges.
+
+    The codec-derived fixture (images_from_documents) keeps the realistic
+    pixel path for entry()/pytest; this one trades pixel realism for an
+    exact cross-engine oracle."""
+    import pyspark.sql.functions as F
+
+    from ..functions.hashing import spark_hash60
+
+    base_ph = spark_hash60("concat('img', doc_id)")
+    alt_ph = spark_hash60("concat('alt', doc_id)")
+    mask = 1 | (1 << 33)  # 2 flipped bits -> Hamming 2
+    v0 = docs.select(
+        F.expr("cast(doc_id * 1000 as bigint)").alias("image_id"),
+        F.col("text").alias("caption"),
+        F.expr(base_ph).alias("phash"),
+    )
+    v1 = docs.filter("doc_id % 3 = 0").select(
+        F.expr("cast(doc_id * 1000 + 1 as bigint)").alias("image_id"),
+        F.col("text").alias("caption"),
+        F.expr(f"({base_ph}) ^ {mask}").alias("phash"),
+    )
+    v2 = docs.filter("doc_id % 5 = 0").select(
+        F.expr("cast(doc_id * 1000 + 2 as bigint)").alias("image_id"),
+        F.col("text").alias("caption"),
+        F.expr(alt_ph).alias("phash"),
+    )
+    return v0.unionByName(v1).unionByName(v2)

@@ -31,7 +31,12 @@ def random_unit_vectors(
     spark: SparkSession, n: int, dim: int, seed: int = 49628583,
     partitions: int | None = None,
 ) -> DataFrame:
-    parts = partitions or max(2, n // 65536 or 2)
+    # enough splits to fill the cluster (Python workers are single-threaded
+    # BLAS — see session.py), but at least ~1k rows per split so each Arrow
+    # batch still amortizes into one big matmul
+    parts = partitions or max(
+        2, min(spark.sparkContext.defaultParallelism, n // 1024 or 2)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
