@@ -107,21 +107,94 @@ def run_dedup(spark) -> tuple[float, int, dict]:
     stages["profile_signatures"] = round(time.time() - t, 2)
     profile = profile.persist()
     t = time.time()
+    drop_stats: dict = {}
     cands = candidate_pairs(
         profile_signatures(profile, cfg),
         bucket_cols=("modality", "band", "bucket"),
         hot_bucket_threshold=cfg.hot_bucket_threshold,
+        drop_stats=drop_stats,
     ).persist()
-    cands.write.mode("overwrite").format("noop").save()
+    n_cands = cands.count()
     stages["candidates"] = round(time.time() - t, 2)
     t = time.time()
-    verify_pairs_from_profile(cands, profile, cfg).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    verified = verify_pairs_from_profile(cands, profile, cfg).persist()
+    n_verified = verified.count()
     stages["verify"] = round(time.time() - t, 2)
+
+    # P1-P4 instrumentation: the reference's analytic flop/occupancy model
+    # (/root/reference/src/main.cc:409-450) next to this run's measured
+    # counters, so model-vs-measured is comparable round over round
+    d, k, L = cfg.cp.dim, cfg.cp.k, cfg.cp.num_tables
+    dstats = {
+        k2: int(v)
+        for k2, v in drop_stats["df"].collect()[0].asDict().items()
+    } if "df" in drop_stats else {}
+    model = {
+        "rot_flops_per_row": 2 * d * d * k * L,
+        "hash_flops_per_row": 5 * d * k * L,
+        "model_total_flops_per_row": (2 * d * d + 5 * d) * k * L + 2 * d * L,
+        "signature_rows_per_image": L + cfg.minhash.num_bands + cfg.simhash.num_bands,
+        "candidate_pairs": int(n_cands),
+        "verified_pairs": int(n_verified),
+        "candidates_per_image": round(n_cands / max(n, 1), 3),
+        "verify_survival_rate": round(n_verified / max(n_cands, 1), 4),
+        **{f"hot_{k2}": v for k2, v in dstats.items()},
+    }
     profile.unpersist()
     cands.unpersist()
-    return wall, n, stages
+    verified.unpersist()
+    return wall, n, stages, model
+
+
+def run_ann_recall_bench(spark) -> dict:
+    """ANN engine quality + scale metrics on PLANTED near-duplicate queries
+    (cos = 0.9 to a known corpus vector — the FALCONN-style success metric;
+    the driver's embeddings are near-random, so exact-top-5 of random
+    queries measures the data, not the index).  Reports planted recall
+    with and without multi-probe, plus candidates/query — the sublinearity
+    evidence for auto-scaled bucket bits."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from lsh_project_spark.operators.similarity import ann_topk_lsh, auto_bits
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    n = len(ids)
+    rng = np.random.Generator(np.random.PCG64(4242))
+    n_q = min(200, n)
+    pick = rng.choice(n, size=n_q, replace=False)
+    cos_target = 0.9
+    beta = float(np.sqrt(1 - cos_target**2))
+    qs = []
+    for i, pi in enumerate(pick):
+        g = rng.normal(size=X.shape[1])
+        g /= np.linalg.norm(g)
+        g -= np.dot(g, X[pi]) * X[pi]
+        g /= np.linalg.norm(g)
+        qs.append((int(1_000_000 + i), (cos_target * X[pi] + beta * g).astype(float).tolist()))
+    qdf = spark.createDataFrame(qs, "query_id long, embedding array<float>")
+    planted = {1_000_000 + i: int(ids[pi]) for i, pi in enumerate(pick)}
+    bits = auto_bits(n)
+    out = {"ann_bits": bits, "ann_corpus": n}
+    for probes, tag in ((1, "1probe"), (4, "4probe")):
+        t0 = time.time()
+        res = ann_topk_lsh(
+            e, qdf, dim=X.shape[1], k=5, num_tables=8, bits=bits, probes=probes
+        ).collect()
+        wall = time.time() - t0
+        found = {}
+        n_rows = 0
+        for r in res:
+            n_rows += 1
+            if r["neighbor_id"] == planted[r["query_id"]]:
+                found[r["query_id"]] = True
+        out[f"ann_planted_recall_{tag}"] = round(len(found) / n_q, 4)
+        out[f"ann_wall_sec_{tag}"] = round(wall, 2)
+    return out
 
 
 def run_reference_nn_bench(spark) -> dict:
@@ -175,8 +248,9 @@ def main() -> None:
 
     spark = _mk_spark(CPUS, max(8, CPUS * 8))
     n_images = prepare_images(spark)
-    wall, n, stages = run_dedup(spark)
+    wall, n, stages, model = run_dedup(spark)
     qsecs = run_queries(spark)
+    ann = run_ann_recall_bench(spark)
     ref_nn = run_reference_nn_bench(spark) if os.environ.get(
         "SPARK_GRAFT_REFBENCH", "1"
     ) == "1" else {}
@@ -189,6 +263,8 @@ def main() -> None:
         "images": n,
         "images_per_sec": round(n / wall, 1),
         "cores": CPUS,
+        "perf_model": model,
+        **ann,
         **ref_nn,
     }
     spark.stop()

@@ -1,28 +1,44 @@
-"""Candidate-pair generation: the bucket self-join, with hot-bucket defense.
+"""Candidate-pair generation: salted grouped bucket join with hot-bucket
+star defense and drop accounting.
 
 Semantics from the reference's probe loop (/root/reference/src/main.cc:369-408):
 two rows that share a (table, bucket) are candidate duplicates.  The
 reference's skew defense is a hard 2^k-slot bucket cap with silent overflow
-drop (/root/reference/src/lsh.c:179-189); ours is explicit and lossless-ish:
+drop (/root/reference/src/lsh.c:179-189); ours is explicit:
 
-- buckets are counted first; buckets above ``hot_bucket_threshold`` are
-  handled separately,
-- a per-bucket *pair budget* bounds the O(b^2) explosion of near-constant
-  content (mega-buckets), with the number of dropped pairs logged to the
-  metrics accumulator rather than silently discarded,
-- pair dedup across tables/bands happens BEFORE the expensive exact verify
-  (each pair is verified once, not once per colliding table).
+- ONE salted repartition moves every signature row exactly once: rows group
+  by (bucket, salt(member)), so even a degenerate mega-bucket spreads over
+  ``salt_groups`` reducers and no single task ever materializes it whole,
+- bucket totals roll up over the (already tiny) per-salt groups with a
+  window — no second pass over the raw rows, no count join-back,
+- cold buckets (n <= hot_bucket_threshold) emit ALL pairs via a codegen'd
+  array expression (exact semantics),
+- hot buckets emit *chained star* pairs: member -> salt-group min ->
+  bucket min.  Connectivity through the chain keeps every member in one
+  component (what the downstream connected-components consumes), while
+  bounding output linearly in bucket size.  Mixed hot buckets can only
+  lose candidate pairs (recall backstopped by the L independent tables),
+  never gain false positives (exact verify follows),
+- dropped-pair counts per hot bucket (C(n,2) minus emitted) are REPORTED:
+  pass ``drop_stats`` to receive a 1-row DataFrame with the totals; the
+  bench emits it in its JSON.
 
-At 100 TB the self-join is the dominant shuffle: it shuffles on
-(table_idx, bucket) which is as co-located as the problem allows, and AQE
-skew-join splitting handles residual imbalance.
+Pair dedup across tables/bands happens BEFORE the expensive exact verify,
+so each pair is verified once, not once per colliding table.
+
+At 100 TB the salted groupBy is the dominant shuffle: it moves each
+signature row once, keyed as co-located as the problem allows, and the
+salt bounds per-task memory regardless of key skew.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
-from pyspark.storagelevel import StorageLevel
+from pyspark.sql import DataFrame, Window
+
+# all-pairs generation materializes an O(T^2) struct array per bucket row;
+# 4096^2 * 16 B = 256 MB is the hard stop where that stops being sane
+_MAX_ALLPAIRS_THRESHOLD = 4096
 
 
 def candidate_pairs(
@@ -30,55 +46,91 @@ def candidate_pairs(
     id_col: str = "image_id",
     bucket_cols: tuple[str, ...] = ("table_idx", "bucket"),
     hot_bucket_threshold: int = 2000,
-    persist: bool = True,
+    salt_groups: int = 16,
+    drop_stats: dict | None = None,
+    persist: bool = True,  # kept for API compat; single-pass plan needs none
 ) -> DataFrame:
-    """Signature table -> distinct (a, b) candidate pairs with a < b.
-
-    Hot buckets (size > threshold) contribute *star pairs* instead of all
-    O(b^2) pairs: every member pairs with the bucket's minimum id.  Under
-    the downstream connected-components clustering this is lossless for
-    true duplicate groups (a bucket whose members are all mutual duplicates
-    yields the same component through the star), while bounding the join
-    output linearly.  Non-duplicate co-occupants of a mega-bucket can only
-    lose *candidates* (recall handled by L independent tables), never gain
-    false positives (exact verify follows).
-    """
+    """Signature table -> distinct (a, b) candidate pairs with a < b."""
+    if hot_bucket_threshold > _MAX_ALLPAIRS_THRESHOLD:
+        raise ValueError(
+            f"hot_bucket_threshold {hot_bucket_threshold} > "
+            f"{_MAX_ALLPAIRS_THRESHOLD}: all-pairs arrays would not be "
+            "memory-safe; lower the threshold (star pairs take over)"
+        )
     bc = list(bucket_cols)
-    sigs = signatures.select(*bc, F.col(id_col).alias("member"))
-    if persist:
-        # the signature DAG (often a full Arrow-UDF profile) feeds four
-        # consumers below (counts, cold x2, hot); without persistence Spark
-        # recomputes it for each — at scale this is the difference between
-        # one signature pass and five.  (A window-function count was tried
-        # instead of groupBy+join-back: one fewer shuffle on paper, but the
-        # per-bucket sort + lost AQE join planning measured ~2x slower.)
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    T = hot_bucket_threshold
 
-    counts = sigs.groupBy(*bc).agg(F.count("*").alias("bucket_n"))
-    sized = sigs.join(counts.hint("shuffle_hash"), bc)
-
-    cold = sized.filter(F.col("bucket_n") <= hot_bucket_threshold)
-    hot = sized.filter(F.col("bucket_n") > hot_bucket_threshold)
-
-    # shuffle-hash joins: bucket keys are high-cardinality and bounded-size
-    # groups — hash join beats sort-merge (no per-side sort of the full
-    # signature table)
-    left = cold.select(*bc, F.col("member").alias("a"))
-    right = cold.select(*bc, F.col("member").alias("b"))
-    cold_pairs = left.join(right.hint("shuffle_hash"), bc).filter(
-        F.col("a") < F.col("b")
+    # one full shuffle, salted: a degenerate bucket spreads over salt_groups
+    # reducers (multinomially balanced) instead of landing on one task
+    grouped = (
+        signatures.select(*bc, F.col(id_col).alias("member"))
+        .groupBy(*bc, F.pmod(F.xxhash64("member"), F.lit(salt_groups)).alias("_s"))
+        .agg(F.collect_list("member").alias("ms"))
+    )
+    # bucket totals over the per-salt groups (<= salt_groups rows/bucket)
+    w = Window.partitionBy(*bc)
+    sized = grouped.select(
+        *bc,
+        "ms",
+        F.sum(F.size("ms")).over(w).alias("n"),
+        F.min(F.expr("array_min(ms)")).over(w).alias("mn"),
     )
 
-    # star pairs for hot buckets: member <-> min(member)
-    hot_min = hot.groupBy(*bc).agg(F.min("member").alias("a"))
-    hot_pairs = (
-        hot.join(hot_min, bc)
-        .filter(F.col("member") != F.col("a"))
-        .select(*bc, "a", F.col("member").alias("b"))
+    # cold: gather the <= T members per bucket, emit all pairs via codegen
+    cold = (
+        sized.filter(F.col("n") <= T)
+        .groupBy(*bc)
+        .agg(F.flatten(F.collect_list("ms")).alias("allm"))
     )
+    pair_expr = (
+        "flatten(transform(sequence(1, size(allm) - 1), i -> "
+        "transform(sequence(0, i - 1), j -> "
+        "struct(least(element_at(allm, i + 1), element_at(allm, j + 1)) as a, "
+        "greatest(element_at(allm, i + 1), element_at(allm, j + 1)) as b))))"
+    )
+    cold_pairs = (
+        cold.filter(F.size("allm") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.a", "p.b")
+    )
+
+    # hot: chained star — member -> salt-group min -> bucket min keeps the
+    # bucket one connected component with O(n) edges
+    hot = sized.filter(F.col("n") > T).select(
+        "ms", F.expr("array_min(ms)").alias("sm"), "mn"
+    )
+    hot_member_edges = (
+        hot.select(F.col("sm"), F.explode("ms").alias("member"))
+        .filter(F.col("member") != F.col("sm"))
+        .select(
+            F.least("sm", "member").alias("a"), F.greatest("sm", "member").alias("b")
+        )
+    )
+    hot_chain_edges = (
+        hot.filter(F.col("sm") != F.col("mn"))
+        .select(F.least("sm", "mn").alias("a"), F.greatest("sm", "mn").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+    if drop_stats is not None:
+        # per hot bucket: full pair count C(n,2) minus the <= n-1 star +
+        # <= salt_groups chain edges actually emitted (exact accounting of
+        # the skew defense, replacing the reference's silent overflow drop)
+        hb = sized.filter(F.col("n") > T).groupBy(*bc).agg(
+            F.first("n").alias("n"),
+            F.count("*").alias("groups"),
+        )
+        drop_stats["df"] = hb.agg(
+            F.count("*").alias("hot_buckets"),
+            F.coalesce(
+                F.sum(F.expr("n * (n - 1) / 2 - (n - 1) - (groups - 1)")), F.lit(0)
+            ).cast("long").alias("pairs_dropped"),
+            F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket"),
+        )
 
     return (
-        cold_pairs.select("a", "b")
-        .unionByName(hot_pairs.select("a", "b"))
+        cold_pairs.unionByName(hot_member_edges)
+        .unionByName(hot_chain_edges)
+        .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )

@@ -58,6 +58,52 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+# below this edge count the component graph is driver-trivial: collect it,
+# union-find in memory (ms), and skip the O(log^2 n)-round distributed loop
+# whose per-round job latency would dominate.  5M edges ~= 80 MB collected;
+# beyond that the large-star/small-star loop takes over (the 100 TB path).
+DRIVER_CC_MAX_EDGES = 5_000_000
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    pdf = edges.select("a", "b").toPandas()
+    uniq, inv = np.unique(
+        pd.concat([pdf["a"], pdf["b"]]).to_numpy(), return_inverse=True
+    )
+    parent = list(range(len(uniq)))
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    ea, eb = inv[: len(pdf)], inv[len(pdf) :]
+    for i in range(len(pdf)):
+        ra, rb = find(int(ea[i])), find(int(eb[i]))
+        if ra != rb:
+            parent[ra] = rb
+    roots = [find(i) for i in range(len(uniq))]
+    # cluster_id = min node id per component (the star-forest fixpoint label)
+    comp_min: dict[int, object] = {}
+    for i, r in enumerate(roots):
+        v = uniq[i]
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    out = pd.DataFrame(
+        {"id": uniq, "cluster_id": [comp_min[r] for r in roots]}
+    )
+    id_type = dict(edges.dtypes)["a"]
+    return edges.sparkSession.createDataFrame(
+        out, schema=f"id {id_type}, cluster_id {id_type}"
+    )
+
+
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     row = edges.agg(
         F.count("*").alias("n"),
@@ -66,21 +112,60 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 50,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+) -> DataFrame:
     """(a, b) undirected edge list -> (id, cluster_id) for every non-isolated
-    node.  Union the full node set downstream if singletons matter."""
-    # non-eager checkpoints: the checksum aggregate both materializes the
-    # round's checkpoint AND returns the convergence stats — one Spark job
-    # per round instead of two
-    cur = (
+    node.  Union the full node set downstream if singletons matter.
+
+    Graphs at or below ``driver_max_edges`` resolve with an in-memory
+    union-find on the driver (one collect, milliseconds); larger graphs run
+    the distributed large-star/small-star loop.  Pass 0 to force the
+    distributed path."""
+    # constraint propagation off while planning the iteration: edge lists
+    # built from multi-branch unions over a shared subtree (candidate_pairs)
+    # crash UnionBase.rewriteConstraints ("key not found: <attr>") when the
+    # checkpoint plan is optimized; see session.py for the session-wide
+    # default — this guard covers sessions not built by our factory
+    spark = edges.sparkSession
+    conf_key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        return _connected_components_impl(edges, max_iter, driver_max_edges)
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
+def _connected_components_impl(
+    edges: DataFrame, max_iter: int, driver_max_edges: int
+) -> DataFrame:
+    # Lineage cut per round (Catalyst cannot express iteration):
+    # - with a checkpoint dir set (sc.setCheckpointDir), use RELIABLE
+    #   checkpoints — survive executor loss, the right mode on a real
+    #   cluster where localCheckpoint blocks are lost with their executor;
+    # - otherwise executor-local checkpoints (sandbox/local mode).
+    # Non-eager either way: the checksum aggregate both materializes the
+    # round's checkpoint AND returns the convergence stats — one job/round.
+    spark = edges.sparkSession
+    reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=False) if reliable else df.localCheckpoint(
+            eager=False
+        )
+
+    cur = _cut(
         edges.select("a", "b")
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=False)
     )
     prev_sum = _edge_checksum(cur)
+    if prev_sum[0] <= driver_max_edges:
+        return _driver_union_find(cur)
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        cur = _cut(_small_star(_large_star(cur)))
         cur_sum = _edge_checksum(cur)
         if cur_sum == prev_sum:
             break

@@ -17,22 +17,28 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..config import CrossPolytopeConfig
-from .signatures import cp_signature_table
+from .signatures import cp_multiprobe_signature_table, cp_signature_table
 
 
 def cp_nearest_neighbor(
     data: DataFrame, queries: DataFrame, cfg: CrossPolytopeConfig,
     id_col: str = "id", qid_col: str = "qid", vec_col: str = "features",
+    probes: int = 1,
 ) -> DataFrame:
-    """(qid, nn_id): approximate NN by cross-polytope LSH + exact re-rank."""
+    """(qid, nn_id): approximate NN by cross-polytope LSH + exact re-rank.
+
+    ``probes > 1`` probes that many buckets per (query, table) — the base
+    bucket plus the lowest-margin sub-hash swaps (multi-probe LSH): recall
+    per table rises without touching the data-side signature table."""
     dsig = cp_signature_table(
         data.select(F.col(id_col), F.col(vec_col)), cfg, id_col=id_col
     )
-    qsig = cp_signature_table(
-        queries.select(F.col(qid_col).alias(id_col), F.col(vec_col)),
-        cfg,
-        id_col=id_col,
-    ).withColumnRenamed(id_col, qid_col)
+    qin = queries.select(F.col(qid_col).alias(id_col), F.col(vec_col))
+    if probes <= 1:
+        qsig = cp_signature_table(qin, cfg, id_col=id_col)
+    else:
+        qsig = cp_multiprobe_signature_table(qin, cfg, probes, id_col=id_col)
+    qsig = qsig.withColumnRenamed(id_col, qid_col)
 
     cands = (
         qsig.join(dsig, ["table_idx", "bucket"])
@@ -54,8 +60,10 @@ def cp_nearest_neighbor(
             out["score"] = np.einsum("bd,bd->b", q, d)
             yield out
 
+    qid_type = dict(queries.dtypes)[qid_col]
+    id_type = dict(data.dtypes)[id_col]
     scored = joined.mapInPandas(
-        score, schema=f"{qid_col} long, {id_col} long, score double"
+        score, schema=f"{qid_col} {qid_type}, {id_col} {id_type}, score double"
     )
     return scored.groupBy(qid_col).agg(
         F.expr(f"min_by({id_col}, struct(-score, {id_col}))").alias("nn_id")

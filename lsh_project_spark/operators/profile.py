@@ -38,6 +38,7 @@ from ..functions.hashing import PORTABLE_HASH_MOD, minhash_params
 from ..oracle.lsh_core import concat_hashes, cp_hash
 from ..params import fold_rotations
 from ..sources.codecs import phash_to_vector
+from .signatures import SIMHASH_SALT, simhash_band_expr
 
 H32 = 1 << 32
 
@@ -46,7 +47,7 @@ H32 = 1 << 32
 def profile_schema(id_type: str = "string") -> str:
     return (
         f"image_id {id_type}, phash long, hs array<int>, cp_buckets array<long>, "
-        "mh_bands array<long>, simhash long"
+        "mh_bands array<long>, simhash long, simhash2 long"
     )
 
 
@@ -82,28 +83,48 @@ def _caption_block(
         dtype=np.int64,
         count=len(uniq),
     )
-    h60 = h60_uniq[inv]
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
 
-    h32 = h60 % H32
-    # minhash: [T, P] then segment-min per doc
-    vals = (h32[:, None] * a[None, :] + b[None, :]) % P
-    sig = np.minimum.reduceat(vals, starts, axis=0)  # [n, P]
+    # expensive per-shingle work (int64 modmul, bit unpack) runs on the
+    # UNIQUE shingles only (typically 5-10x fewer than flat occurrences —
+    # small vocabularies repeat shingles heavily), then fans out to the
+    # per-document segments with one gather.  Cuts both the modmul count
+    # and the peak temporary size ~8x (large temporaries were churning
+    # enough pages to keep khugepaged busy on a whole core).
+    h32u = h60_uniq % H32
+    vals_u = (h32u[:, None] * a[None, :] + b[None, :]) % P  # [U, P]
+    sig = np.minimum.reduceat(vals_u[inv], starts, axis=0)  # [n, P]
     terms = ((sig % H32) * c) % P
     mh_bands = terms.reshape(n, n_bands, rpb).sum(axis=2)
 
-    # simhash: [T, 56] votes then segment-sum
-    h56 = h60 >> 4
-    bits = (h56[:, None] >> np.arange(56, dtype=np.int64)[None, :]) & 1
-    votes = np.add.reduceat(2 * bits - 1, starts, axis=0)  # [n, 56]
-    weights = np.int64(1) << np.arange(56, dtype=np.int64)
-    simhashes = np.where(votes > 0, weights[None, :], 0).sum(axis=1)
+    # simhash votes: ±1 per unique shingle bit (int8), gathered then
+    # widened to int32 for the segment sum (doc-size safe); two independent
+    # fingerprints (plain + salted md5), see SimHashConfig
+    def _fingerprints(h60s: np.ndarray) -> list[int]:
+        h56u = h60s >> 4
+        bits_u = (
+            2 * ((h56u[:, None] >> np.arange(56, dtype=np.int64)[None, :]) & 1) - 1
+        ).astype(np.int8)  # [U, 56]
+        votes = np.add.reduceat(bits_u[inv].astype(np.int32), starts, axis=0)
+        weights = np.int64(1) << np.arange(56, dtype=np.int64)
+        return [int(x) for x in np.where(votes > 0, weights[None, :], 0).sum(axis=1)]
 
-    hs32 = (h32 - (1 << 31)).astype(np.int32)
+    simhashes = _fingerprints(h60_uniq)
+    h60b_uniq = np.fromiter(
+        (
+            int(hashlib.md5((SIMHASH_SALT + s).encode("utf-8")).hexdigest()[:15], 16)
+            for s in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    simhashes2 = _fingerprints(h60b_uniq)
+
+    hs32 = (h32u[inv] - (1 << 31)).astype(np.int32)
     ends = starts + lengths
     hs_list = [np.unique(hs32[starts[i] : ends[i]]) for i in range(n)]
-    return hs_list, list(mh_bands), [int(x) for x in simhashes]
+    return hs_list, list(mh_bands), simhashes, simhashes2
 
 
 def multimodal_profile(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -115,7 +136,6 @@ def multimodal_profile(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
     rot = fold_rotations(cfg.cp)
     L, k, d, _ = rot.shape
     rot2d = np.ascontiguousarray(rot.transpose(3, 0, 1, 2).reshape(d, L * k * d))
-    sh_bits = 56 // cfg.simhash.num_bands
     shingle_k = mh_cfg.shingle_size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -129,16 +149,17 @@ def multimodal_profile(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
             cp_buckets = concat_hashes(cp_hash(y), d)  # [n, L]
             # --- captions, in sub-blocks so the [shingles, num_perm]
             # minhash matrix stays ~100 MB
-            hs_list, mh_list, sim_list = [], [], []
+            hs_list, mh_list, sim_list, sim2_list = [], [], [], []
             texts = pdf["caption"].tolist()
             block = 2048
             for lo in range(0, n, block):
-                h, m, s = _caption_block(
+                h, m, s, s2 = _caption_block(
                     texts[lo : lo + block], shingle_k, a, b, c, n_bands, rpb
                 )
                 hs_list.extend(h)
                 mh_list.extend(m)
                 sim_list.extend(s)
+                sim2_list.extend(s2)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
@@ -147,6 +168,7 @@ def multimodal_profile(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
                     "cp_buckets": list(cp_buckets),
                     "mh_bands": mh_list,
                     "simhash": sim_list,
+                    "simhash2": sim2_list,
                 }
             )
 
@@ -158,7 +180,6 @@ def multimodal_profile(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def profile_signatures(profile: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Profile -> unified exploded signature table
     (image_id, modality, band, bucket); cheap JVM posexplode of tiny arrays."""
-    sh_bits = 56 // cfg.simhash.num_bands
     cp = profile.select(
         "image_id", F.posexplode("cp_buckets").alias("band", "bucket")
     ).select("image_id", F.lit(0).alias("modality"), F.col("band").cast("int"), "bucket")
@@ -167,11 +188,17 @@ def profile_signatures(profile: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).select("image_id", F.lit(1).alias("modality"), F.col("band").cast("int"), "bucket")
     sh = profile.select(
         "image_id",
-        F.explode(F.expr(f"sequence(0, {cfg.simhash.num_bands - 1})")).alias("band"),
-        F.expr(
-            f"(simhash >> (cast(band as int) * {sh_bits})) & {(1 << sh_bits) - 1}"
-        ).alias("bucket"),
-    ).select("image_id", F.lit(2).alias("modality"), F.col("band").cast("int"), "bucket")
+        F.explode(F.expr(f"sequence(0, {cfg.simhash.num_bands - 1})")).alias(
+            "band_idx"
+        ),
+        "simhash",
+        "simhash2",
+    ).select(
+        "image_id",
+        F.lit(2).alias("modality"),
+        F.col("band_idx").cast("int").alias("band"),
+        F.expr(simhash_band_expr(cfg.simhash)).alias("bucket"),
+    )
     return cp.unionByName(mh).unionByName(sh)
 
 

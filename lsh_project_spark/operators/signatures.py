@@ -65,6 +65,76 @@ def cp_signature_table(
     return features.mapInPandas(sign, schema=schema)
 
 
+def cp_multiprobe_signature_table(
+    features: DataFrame, cfg: CrossPolytopeConfig, probes: int,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Query-side multi-probe CP-LSH: (id, features) -> (id, table_idx,
+    bucket) with up to ``probes`` buckets per (row, table) — the base bucket
+    plus the cheapest single sub-hash swaps, ranked by margin
+    |y|_best - |y|_second (Lv et al. '07 multi-probe LSH; the analog of
+    FALCONN's probing sequence, /root/reference/falconn/random_benchmark.cc:298).
+
+    Probing multiplies per-table recall without growing the signature table:
+    at equal recall an index needs fewer tables, i.e. fewer shuffled rows —
+    the scale lever at 100 TB.
+    """
+    rot = fold_rotations(cfg)
+    L, k, d, _ = rot.shape
+    rot2d = np.ascontiguousarray(rot.transpose(3, 0, 1, 2).reshape(d, L * k * d))
+    cldim = (d - 1).bit_length() + 1  # bits per sub-hash (concat_hashes)
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            x = np.vstack(pdf["features"].to_numpy()).astype(np.float32)
+            y = (x @ rot2d).reshape(n, L, k, d)
+            take = np.take_along_axis
+            # base sub-hashes via the EXACT data-side function (tie rules
+            # included) so probe 0 always hits the indexed bucket
+            h1 = cp_hash(y)  # [n, L, k], h = axis + d*(sign<0)
+            ax = (h1 % d).astype(np.int64)
+            abs_chosen = np.abs(take(y, ax[..., None], 3)[..., 0])
+            ay = np.abs(y)
+            np.put_along_axis(ay, ax[..., None], -1.0, axis=3)
+            second_ax = np.argmax(ay, axis=3)
+            second_val = take(y, second_ax[..., None], 3)[..., 0]
+            h2 = second_ax + d * (second_val < 0)
+            margin = abs_chosen - np.abs(second_val)  # [n, L, k] >= 0
+            base = concat_hashes(h1, d)  # [n, L]
+            ids, tids, buckets = [], [], []
+            idv = pdf[id_col].to_numpy()
+            # probe p swaps exactly one sub-hash j to h2; cheapest first
+            swap_rank = np.argsort(margin, axis=2)  # [n, L, k]
+            shift = cldim * (k - 1 - np.arange(k))  # bit offset of sub-hash j
+            for p in range(min(probes, k + 1)):
+                if p == 0:
+                    b = base
+                else:
+                    j = swap_rank[:, :, p - 1]  # [n, L]
+                    sh = shift[j]
+                    old = take(h1, j[..., None], 2)[..., 0]
+                    new = take(h2, j[..., None], 2)[..., 0]
+                    b = base - (old << sh) + (new << sh)
+                ids.append(np.repeat(idv, L))
+                tids.append(np.tile(np.arange(L, dtype=np.int32), n))
+                buckets.append(b.reshape(-1))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids),
+                    "table_idx": np.concatenate(tids),
+                    "bucket": np.concatenate(buckets),
+                }
+            )
+
+    id_type = dict(features.dtypes)[id_col]
+    return features.mapInPandas(
+        sign, schema=f"{id_col} {id_type}, table_idx int, bucket long"
+    )
+
+
 # --------------------------------------------------------------- MinHash (JVM)
 
 
@@ -140,11 +210,16 @@ def minhash_band_table(
 SIMHASH_BITS = 56  # 14 md5 hex chars: every bit op stays in signed int64
 
 
+SIMHASH_SALT = "s2:"  # prefix for the second independent fingerprint
+
+
 def simhash_table(
     docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, text) -> (id, simhash long): 56-bit SimHash over distinct word
-    3-shingles, JVM-only.
+    """(id, text) -> (id, simhash, simhash2): two independent 56-bit SimHash
+    fingerprints over distinct word 3-shingles, JVM-only (the second uses a
+    salted hash family — together they band into 4 x 28-bit slices, see
+    SimHashConfig).
 
     bit b = 1 iff sum over shingles of (2*bit_b(hash56(shingle)) - 1) > 0.
     Shingle features (vs raw tokens) keep fingerprints spread out when the
@@ -152,39 +227,55 @@ def simhash_table(
     floods the band buckets.
     """
     h56 = "cast(conv(substring(md5(tok), 1, 14), 16, 10) as bigint)"
+    h56b = (
+        f"cast(conv(substring(md5(concat('{SIMHASH_SALT}', tok)), 1, 14), 16, 10)"
+        " as bigint)"
+    )
     hashed = docs.select(
         F.col(id_col), F.explode(shingle_expr(text_col, 3)).alias("tok")
-    ).select(id_col, F.expr(h56).alias("h"))
-    # one shuffle (collect per-doc token hashes), then bit votes + fingerprint
-    # fold as whole-stage-codegen higher-order expressions — no 56x bit
-    # explosion through the exchange
-    return hashed.groupBy(id_col).agg(
-        F.expr(
+    ).select(id_col, F.expr(h56).alias("h"), F.expr(h56b).alias("h2"))
+
+    def fold(col: str) -> str:
+        # one shuffle (collect per-doc token hashes), then bit votes +
+        # fingerprint fold as whole-stage-codegen higher-order expressions
+        return (
             f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), "
             f"(fp, b) -> fp + (case when "
-            f"aggregate(collect_list(h), 0, "
+            f"aggregate(collect_list({col}), 0, "
             f"(acc, hh) -> acc + (case when (hh >> b) & 1 = 1 then 1 else -1 end)) > 0 "
             f"then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))"
-        ).alias("simhash")
+        )
+
+    return hashed.groupBy(id_col).agg(
+        F.expr(fold("h")).alias("simhash"), F.expr(fold("h2")).alias("simhash2")
+    )
+
+
+def simhash_band_expr(cfg: SimHashConfig, col1: str = "simhash", col2: str = "simhash2") -> str:
+    """SQL for the band bucket given band_idx: slices of the concatenated
+    (simhash, simhash2) fingerprint, bits_per_band wide."""
+    bpb, bph = cfg.bits_per_band, cfg.bands_per_hash
+    mask = (1 << cfg.bits_per_band) - 1
+    return (
+        f"(case when band_idx < {bph} then {col1} >> (band_idx * {bpb}) "
+        f"else {col2} >> ((band_idx - {bph}) * {bpb}) end) & {mask}"
     )
 
 
 def simhash_band_table(
     simhashes: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash) -> (id, band_idx, band_hash): bit-slice banding.
-    Two fingerprints within Hamming r collide on >= 1 band when banded into
-    more than r slices (pigeonhole: r flipped bits can dirty at most r of
-    the num_bands slices)."""
-    bits = SIMHASH_BITS // cfg.num_bands
+    """(id, simhash, simhash2) -> (id, band_idx, band_hash): bit-slice
+    banding over the concatenated 112-bit fingerprint.  Two fingerprints
+    within Hamming r of each other collide on >= 1 band when banded into
+    more than r slices (pigeonhole)."""
     return simhashes.select(
         id_col,
         F.explode(F.expr(f"sequence(0, {cfg.num_bands - 1})")).alias("band_idx"),
         "simhash",
+        "simhash2",
     ).select(
         id_col,
         "band_idx",
-        F.expr(f"(simhash >> (band_idx * {bits})) & {(1 << bits) - 1}").alias(
-            "band_hash"
-        ),
+        F.expr(simhash_band_expr(cfg)).alias("band_hash"),
     )

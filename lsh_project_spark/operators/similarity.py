@@ -66,9 +66,15 @@ def brute_force_topk(
 def hyperplane_signatures(
     vectors: DataFrame, dim: int, num_tables: int = 8, bits: int = 16,
     seed: int = 7349, id_col: str = "vec_id", vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Sign-LSH buckets: (id, table_idx, bucket).  bits coordinate signs of
-    the structured-rotated vector per table, packed into an int bucket."""
+    the structured-rotated vector per table, packed into an int bucket.
+
+    ``probes > 1`` (query side) emits up to that many buckets per (row,
+    table): the base bucket plus single-bit flips at the lowest-|margin|
+    coordinates — multi-probe LSH (Lv et al. '07).  Each probe multiplies
+    per-table recall without growing the data-side table."""
     cfg = CrossPolytopeConfig(
         dim=dim, k=1, num_tables=num_tables, num_rotations=3, seed=seed
     )
@@ -81,15 +87,26 @@ def hyperplane_signatures(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
-            y = (x @ rot2d).reshape(len(pdf), L, dim)[:, :, :bits]
-            buckets = ((y > 0).astype(np.int64) * weights[None, None, :]).sum(axis=2)
             n = len(pdf)
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+            y = (x @ rot2d).reshape(n, L, dim)[:, :, :bits]
+            base = ((y > 0).astype(np.int64) * weights[None, None, :]).sum(axis=2)
+            ids, tids, buckets = [], [], []
+            idv = pdf[id_col].to_numpy()
+            flip_order = np.argsort(np.abs(y), axis=2)  # ascending margin
+            for p in range(min(probes, bits + 1)):
+                if p == 0:
+                    b = base
+                else:
+                    b = base ^ (np.int64(1) << flip_order[:, :, p - 1])
+                ids.append(np.repeat(idv, L))
+                tids.append(np.tile(np.arange(L, dtype=np.int32), n))
+                buckets.append(b.reshape(-1))
             yield pd.DataFrame(
                 {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), L),
-                    "table_idx": np.tile(np.arange(L, dtype=np.int32), n),
-                    "bucket": buckets.reshape(-1),
+                    id_col: np.concatenate(ids),
+                    "table_idx": np.concatenate(tids),
+                    "bucket": np.concatenate(buckets),
                 }
             )
 
@@ -212,19 +229,24 @@ def ann_topk_portable(
 
 def ann_topk_lsh(
     vectors: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-    num_tables: int = 8, bits: int = 16,
+    num_tables: int = 8, bits: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding", qid_col: str = "query_id",
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH candidates -> exact cosine re-rank.
 
     At scale this replaces the O(Q*N) cross join with an equi-join whose
-    cost tracks true near-neighbor density."""
+    cost tracks true near-neighbor density.  ``bits`` defaults to
+    auto_bits(n) (bucket occupancy ~constant in n); ``probes`` enables
+    query-side multi-probe."""
+    if bits is None:
+        bits = auto_bits(vectors.count())
     vsig = hyperplane_signatures(
         vectors, dim, num_tables, bits, id_col=id_col, vec_col=vec_col
     )
     qsig = hyperplane_signatures(
         queries.withColumnRenamed(qid_col, id_col), dim, num_tables, bits,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, probes=probes,
     ).withColumnRenamed(id_col, qid_col)
     cands = (
         qsig.join(vsig, ["table_idx", "bucket"])

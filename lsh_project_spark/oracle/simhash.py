@@ -21,14 +21,18 @@ def hash56_py(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:14], 16)
 
 
-def simhash64(text: str, num_bits: int = SIMHASH_BITS, shingle_k: int = 3) -> int:
-    """SimHash fingerprint over distinct word k-shingles."""
+def simhash64(
+    text: str, num_bits: int = SIMHASH_BITS, shingle_k: int = 3, salt: str = ""
+) -> int:
+    """SimHash fingerprint over distinct word k-shingles.  ``salt`` selects
+    an independent hash family (the engine's second fingerprint uses
+    salt='s2:', operators/signatures.SIMHASH_SALT)."""
     from .minhash import shingles
 
     feats = shingles(text, shingle_k)
     votes = np.zeros(num_bits, dtype=np.int64)
     for t in feats:
-        h = hash56_py(t)
+        h = hash56_py(salt + t)
         for b in range(num_bits):
             votes[b] += 1 if (h >> b) & 1 else -1
     fp = 0

@@ -135,7 +135,12 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
         bucket_cols=("modality", "band", "bucket"),
         hot_bucket_threshold=cfg.hot_bucket_threshold,
     )
-    pairs = verify_pairs_from_profile(cands, profile, cfg)
+    # verified pairs feed clustering 2-3 times (fast-path count + collect,
+    # or the distributed loop's seed checkpoint) — persist so the verify
+    # join chain runs once
+    pairs = verify_pairs_from_profile(cands, profile, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     assignments = assign_clusters(profile, pairs, id_col="image_id")
     return PipelineResult(assignments=assignments, verified_pairs=pairs)
 

@@ -103,27 +103,46 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# join-key document-frequency cap for the exhaustive shingle self-join: a
+# pair is only CONSIDERED if it shares a shingle appearing in <= this many
+# docs (Jaccard itself still uses all shingles).  A stop-phrase shared by 1%
+# of docs otherwise makes the self-join quadratic; a true >=0.5-Jaccard pair
+# sharing ONLY ubiquitous shingles is vanishingly rare.  Mirrored in the
+# DuckDB oracle so the gate stays hash-exact.
+SHINGLE_DF_CAP = 1000
+
+
 def q_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (word 3-shingle) Jaccard >= 0.5 pairs — the exact-verify
-    stage computed exhaustively over shingle-sharing pairs."""
+    """Exact word-3-shingle Jaccard >= 0.5 pairs.  Candidates come from the
+    self-join on shingles with document frequency <= SHINGLE_DF_CAP (so one
+    stop-phrase can never make the join quadratic); the Jaccard itself is
+    EXACT over the full shingle sets via array intersect/union."""
     d = _docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id", F.explode(shingle_expr("text", MH_CFG.shingle_size)).alias("shingle")
+    shingled = d.select(
+        "doc_id", shingle_expr("text", MH_CFG.shingle_size).alias("shs")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
+    sh = shingled.select("doc_id", F.explode("shs").alias("shingle"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    cands = (
+        shr.alias("x")
+        .join(shr.alias("y"), "shingle")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
-        )
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
-        .withColumn("jaccard", F.expr("inter / (sa + sb - inter)"))
+        cands.join(shingled.select(F.col("doc_id").alias("a"), F.col("shs").alias("sa")), "a")
+        .join(shingled.select(F.col("doc_id").alias("b"), F.col("shs").alias("sb")), "b")
+        .withColumn(
+            "jaccard",
+            F.expr("size(array_intersect(sa, sb)) / size(array_union(sa, sb))"),
+        )
         .filter(F.col("jaccard") >= 0.5)
         .select("a", "b", F.expr("round(jaccard, 6)").alias("jaccard"))
     )
@@ -132,25 +151,30 @@ def q_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors (vec_id % 50 = 0)
     — the reference's exact ground-truth scan (src/main.cc:91-113) as the
-    ANN baseline.  Rank ties broken by neighbor id."""
+    ANN baseline.  Rank ties broken by neighbor id.  Norms are hoisted into
+    pre-projected columns BEFORE the cross join (computed n+q times, not
+    n*q times — ~3x less work inside the join)."""
     e = _emb(spark, sf_dir)
+    norm_of = (
+        "sqrt(aggregate(transform({v}, x -> cast(x as double) * cast(x as double)), "
+        "cast(0 as double), (acc, v) -> acc + v))"
+    )
     q = e.filter(F.expr("vec_id % 50 = 0")).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(norm_of.format(v="embedding")).alias("nq"),
+    )
+    ed = e.select(
+        "vec_id", "embedding", F.expr(norm_of.format(v="embedding")).alias("nd")
     )
     dot = "aggregate(zip_with(qv, embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
-    nq = (
-        "sqrt(aggregate(transform(qv, x -> cast(x as double) * cast(x as double)), cast(0 as double), (acc, v) -> acc + v))"
-    )
-    nd = (
-        "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), cast(0 as double), (acc, v) -> acc + v))"
-    )
     scored = (
-        q.crossJoin(e)
+        q.crossJoin(ed)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.expr(f"({dot}) / (({nq}) * ({nd}))").alias("cos"),
+            F.expr(f"({dot}) / (nq * nd)").alias("cos"),
         )
     )
     from pyspark.sql import Window
@@ -411,18 +435,26 @@ GROUP BY text_hash HAVING count(*) >= 2
 """,
         "shingle_jaccard_pairs": f"""
 {sh_cte},
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
-inter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-  FROM shingled x JOIN shingled y ON x.shingle = y.shingle
+rare AS (
+  SELECT shingle FROM shingled GROUP BY shingle
+  HAVING count(*) <= {SHINGLE_DF_CAP}
+),
+shr AS (SELECT s.doc_id, s.shingle FROM shingled s JOIN rare USING (shingle)),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM shr x JOIN shr y ON x.shingle = y.shingle
   WHERE x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id
-)
-SELECT a, b, round(inter / (sa + sb - inter), 6) AS jaccard
-FROM inter
-JOIN (SELECT doc_id AS a_id, sz AS sa FROM sizes) ON a = a_id
-JOIN (SELECT doc_id AS b_id, sz AS sb FROM sizes) ON b = b_id
-WHERE inter / (sa + sb - inter) >= 0.5
+),
+sets AS (SELECT doc_id, shs FROM shl)
+SELECT a, b,
+       round(CAST(len(list_intersect(fa.shs, fb.shs)) AS DOUBLE)
+             / (len(fa.shs) + len(fb.shs) - len(list_intersect(fa.shs, fb.shs))), 6)
+         AS jaccard
+FROM cands
+JOIN sets fa ON a = fa.doc_id
+JOIN sets fb ON b = fb.doc_id
+WHERE CAST(len(list_intersect(fa.shs, fb.shs)) AS DOUBLE)
+      / (len(fa.shs) + len(fb.shs) - len(list_intersect(fa.shs, fb.shs))) >= 0.5
 """,
         "embedding_topk": """
 WITH q AS (

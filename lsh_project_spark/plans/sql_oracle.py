@@ -69,8 +69,7 @@ GROUP BY doc_id, band_idx
 
 def duckdb_dedup_clusters_sql(
     mh_cfg: MinHashConfig,
-    sim_bits: int = 56,
-    sim_bands: int = 4,
+    sim_cfg=None,
     hamming_tau: int = 6,
     jaccard_tau: float = 0.5,
 ) -> str:
@@ -80,10 +79,14 @@ def duckdb_dedup_clusters_sql(
     Hamming<=tau pair set (superset of CP-LSH candidates), verify with the
     engine's criterion, resolve connected components with a recursive CTE,
     and emit the cluster-size histogram."""
+    from ..config import SimHashConfig
+
+    sim_cfg = sim_cfg or SimHashConfig()
     mask = 1 | (1 << 33)
-    band_bits = sim_bits // sim_bands
+    bpb, bph = sim_cfg.bits_per_band, sim_cfg.bands_per_hash
+    band_mask = (1 << bpb) - 1
     mh = duckdb_minhash_bands_sql(mh_cfg, "imgs")
-    sh = duckdb_simhash_sql(sim_bits, "imgs")
+    sh = duckdb_simhash_sql(sim_cfg.num_bits, "imgs")
     k = mh_cfg.shingle_size
     return f"""
 WITH RECURSIVE imgs AS (
@@ -103,8 +106,10 @@ mhb AS (SELECT * FROM ({mh})),
 shf AS (SELECT * FROM ({sh})),
 shb AS (
   SELECT doc_id, bb.b AS band_idx,
-         (simhash >> (bb.b * {band_bits})) & {(1 << band_bits) - 1} AS band_hash
-  FROM shf, (SELECT unnest(range(0, {sim_bands})) AS b) bb
+         (CASE WHEN bb.b < {bph} THEN simhash >> (bb.b * {bpb})
+               ELSE simhash2 >> ((bb.b - {bph}) * {bpb}) END) & {band_mask}
+           AS band_hash
+  FROM shf, (SELECT unnest(range(0, {sim_cfg.num_bands})) AS b) bb
 ),
 cand AS (
   SELECT x.doc_id AS a, y.doc_id AS b
@@ -210,26 +215,33 @@ SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
 """
 
 
-def duckdb_simhash_sql(num_bits: int = 56, table: str = "documents") -> str:
-    """DuckDB query: (doc_id, simhash) matching operators/signatures.simhash_table
-    (SimHash over distinct word-3-shingles)."""
+def duckdb_simhash_sql(
+    num_bits: int = 56, table: str = "documents", salt: str = "s2:"
+) -> str:
+    """DuckDB query: (doc_id, simhash, simhash2) matching
+    operators/signatures.simhash_table (two independent SimHash
+    fingerprints over distinct word-3-shingles; second = salted md5)."""
     cfg = MinHashConfig(shingle_size=3)
     return f"""
 WITH {duckdb_shingles_cte(cfg, table)},
 hashed AS (
   SELECT doc_id,
-         cast(('0x' || substring(md5(shingle), 1, 14)) AS BIGINT) AS h
+         cast(('0x' || substring(md5(shingle), 1, 14)) AS BIGINT) AS h,
+         cast(('0x' || substring(md5('{salt}' || shingle), 1, 14)) AS BIGINT) AS h2
   FROM shingled
 ),
 votes AS (
   SELECT doc_id, b.b AS b,
-         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote,
+         sum(CASE WHEN (h2 >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote2
   FROM hashed CROSS JOIN (SELECT unnest(range(0, {num_bits})) AS b) b
   GROUP BY doc_id, b.b
 )
 SELECT doc_id,
        CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-            AS BIGINT) AS simhash
+            AS BIGINT) AS simhash,
+       CAST(sum(CASE WHEN vote2 > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash2
 FROM votes
 GROUP BY doc_id
 """

@@ -41,6 +41,20 @@ def get_spark(
         # `shuffle_partitions` task launches
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+        # ...but never coalesce below cluster parallelism: AQE's size-based
+        # coalescing happily plans 3-6 task stages on medium shuffles,
+        # leaving 80% of the cluster idle in the middle of the pipeline
+        # (measured: the window/gather stages ran 6-way on 16 cores)
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(cores * 2),
+        )
+        # small scan splits so modest local inputs still fan out across all
+        # cores without an extra repartition shuffle (the Arrow profile
+        # stage parallelizes over scan splits); at warehouse scale inputs
+        # have millions of splits at any setting, so this only costs a few
+        # extra task launches there
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         # let AQE re-plan cached DataFrames too (candidate_pairs persists
         # the signature table; default false pins its partitioning)
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
@@ -50,9 +64,22 @@ def get_spark(
         # small enough that batch x d floats stay cache/memory friendly
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # generous broadcast ceiling: the verify stage joins a compact pair
+        # list (tens of MB at bench scale) against the array-heavy profile —
+        # broadcasting the pairs spares the profile TWO full shuffles.  AQE
+        # decides per-join from actual runtime sizes, so an oversized side
+        # never broadcasts by accident.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark's Union constraint rewrite (UnionBase.rewriteConstraints)
+        # throws "key not found: <attr>" when union branches share a
+        # subtree and a branch constraint references another branch's
+        # attribute id — hit by candidate_pairs' cold/hot edge union.
+        # Our plans carry explicit filters; inferred constraints add
+        # nothing here.  (operators/cluster.py re-guards this at runtime
+        # for sessions not built by this factory.)
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")

@@ -117,3 +117,49 @@ def brute_force_truth(queries: DataFrame, data: DataFrame) -> DataFrame:
         partials.groupBy("qid")
         .agg(F.expr("min_by(nn_id, struct(-score, nn_id))").alias("nn_id"))
     )
+
+
+def planted_distance_queries(
+    spark: SparkSession, data: DataFrame, num_queries: int, dim: int, n: int,
+    r: float = 0.7071067811865476, seed: int = 119417657,
+) -> DataFrame:
+    """Queries planted at EXACT Euclidean distance ``r`` from a random data
+    point (FALCONN benchmark generator,
+    /root/reference/falconn/random_benchmark.cc:211-229):
+
+        q = alpha * x + beta * dir_perp,   alpha = 1 - r^2/2,
+        beta = sqrt(1 - alpha^2)
+
+    with dir_perp a random unit vector orthogonalized against x.  For unit
+    x this gives |q| = 1 and |q - x| = r exactly, so recall can be measured
+    as a function of controlled distance.  Returns (qid, planted_id,
+    features).
+    """
+    alpha = 1.0 - r * r / 2.0
+    beta = float(np.sqrt(max(0.0, 1.0 - alpha * alpha)))
+    picks = [(q, int(_rng(seed, 3, q).integers(0, n))) for q in range(num_queries)]
+    pick_df = spark.createDataFrame(picks, "qid long, planted_id long")
+    joined = pick_df.join(
+        data.withColumnRenamed("id", "planted_id"), "planted_id"
+    ).select("qid", "planted_id", "features")
+
+    def plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf["qid"].to_numpy()
+            base = np.vstack(pdf["features"].to_numpy()).astype(np.float64)
+            out = np.empty_like(base, dtype=np.float32)
+            for i, q in enumerate(qids):
+                g = _rng(seed, 4, int(q)).normal(size=base.shape[1])
+                g /= np.linalg.norm(g)
+                g -= np.dot(g, base[i]) * base[i]
+                g /= np.linalg.norm(g)
+                out[i] = (alpha * base[i] + beta * g).astype(np.float32)
+            yield pd.DataFrame(
+                {"qid": qids, "planted_id": pdf["planted_id"], "features": list(out)}
+            )
+
+    return joined.mapInPandas(
+        plant, schema="qid long, planted_id long, features array<float>"
+    )

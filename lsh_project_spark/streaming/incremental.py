@@ -62,12 +62,20 @@ class IncrementalDedup:
             store_profile = self.spark.read.parquet(self.store_path)
             all_profile = store_profile.unionByName(new_profile)
             store_sigs = profile_signatures(store_profile, cfg)
-            # new-vs-store (a from store or new, b always new) + new-vs-new
+            # new-vs-store (a from store or new, b always new) + new-vs-new.
+            # The micro-batch side is explicitly broadcast: the growing
+            # store then streams through the join with NO shuffle — the
+            # per-batch cost is one store scan, not a store repartition.
+            # (At cluster scale the next step is a bucket-partitioned
+            # compacted store so the scan itself prunes; the scan-only
+            # shape here is the prerequisite for that.)
             cross = (
                 store_sigs.select("modality", "band", "bucket", F.col("image_id").alias("a"))
                 .join(
-                    new_sigs.select(
-                        "modality", "band", "bucket", F.col("image_id").alias("b")
+                    F.broadcast(
+                        new_sigs.select(
+                            "modality", "band", "bucket", F.col("image_id").alias("b")
+                        )
                     ),
                     ["modality", "band", "bucket"],
                 )

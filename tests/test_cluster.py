@@ -14,21 +14,40 @@ def _random_graph(seed, n, m):
 
 
 @pytest.mark.parametrize("seed,n,m", [(1, 50, 30), (2, 200, 150), (3, 500, 700)])
-def test_cc_matches_union_find(spark, seed, n, m):
+@pytest.mark.parametrize("driver_max", [5_000_000, 0])  # fast path / distributed
+def test_cc_matches_union_find(spark, seed, n, m, driver_max):
     nodes, edges = _random_graph(seed, n, m)
     oracle = union_find_clusters(nodes, edges)
     edf = spark.createDataFrame(edges, "a long, b long")
-    got = {r["id"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edf, driver_max_edges=driver_max).collect()
+    }
     for node, cid in got.items():
         assert oracle[node] == cid, node
 
 
-def test_cc_chain_graph(spark):
+def test_cc_both_paths_identical(spark):
+    nodes, edges = _random_graph(7, 300, 400)
+    edf = spark.createDataFrame(edges, "a long, b long")
+    fast = {r["id"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edf, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+
+
+@pytest.mark.parametrize("driver_max", [5_000_000, 0])
+def test_cc_chain_graph(spark, driver_max):
     """Worst-case diameter: a long path must still collapse to one root."""
     n = 64
     edges = [(i, i + 1) for i in range(n - 1)]
     edf = spark.createDataFrame(edges, "a long, b long")
-    got = {r["id"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edf, driver_max_edges=driver_max).collect()
+    }
     assert set(got.values()) == {0}
     assert len(got) == n
 
