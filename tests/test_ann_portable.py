@@ -1,0 +1,85 @@
+"""Portable sign-LSH ANN: plane determinism, auto_bits scaling, candidate
+sublinearity, and agreement between the JVM-portable and numpy paths'
+bucket semantics."""
+
+import numpy as np
+import pytest
+
+from lsh_project_spark.operators.similarity import (
+    ANN_MAX_BITS,
+    ANN_SEED,
+    ann_topk_portable,
+    auto_bits,
+    portable_signatures,
+    rademacher_planes,
+)
+
+
+def test_auto_bits_scales_with_n():
+    assert auto_bits(100) == 4
+    assert auto_bits(500) == 6
+    assert auto_bits(5_000) == 10
+    assert auto_bits(5_000_000) == 20
+    # bucket occupancy n / 2^bits stays within [4, 8] x target
+    for n in (1_000, 10_000, 1_000_000, 10**9):
+        occ = n / (1 << auto_bits(n))
+        assert 2 <= occ <= 16, (n, occ)
+
+
+def test_rademacher_planes_deterministic():
+    a = rademacher_planes(7, 4, 8, 64)
+    b = rademacher_planes(7, 4, 8, 64)
+    assert a == b
+    assert len(a) == 4 and len(a[0]) == 8 and len(a[0][0]) == 64
+    assert set("".join(a[0])) <= {"+", "-"}
+    assert rademacher_planes(8, 4, 8, 64) != a
+
+
+@pytest.fixture(scope="module")
+def vec_fixture(spark):
+    rng = np.random.Generator(np.random.PCG64(99))
+    n, d = 600, 64
+    rows = [(i, rng.normal(size=d).astype(float).tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), n, d
+
+
+def test_portable_signatures_match_numpy(spark, vec_fixture):
+    df, n, d = vec_fixture
+    bits = 5
+    planes = rademacher_planes(ANN_SEED, 3, ANN_MAX_BITS, d)
+    got = {
+        (r["vec_id"], r["table_idx"]): r["bucket"]
+        for r in portable_signatures(df, planes, bits, dim=d).collect()
+    }
+    rows = df.collect()
+    for r in rows[:100]:
+        x = np.array(r["embedding"], dtype=np.float64)
+        for t in range(3):
+            b = 0
+            for j in range(bits):
+                hp = np.array(
+                    [1.0 if c == "+" else -1.0 for c in planes[t][j]]
+                )
+                if float(np.dot(x, hp)) > 0:
+                    b |= 1 << j
+            assert got[(r["vec_id"], t)] == b, (r["vec_id"], t)
+
+
+def test_ann_portable_planted_recall(spark, vec_fixture):
+    df, n, d = vec_fixture
+    rows = df.collect()
+    rng = np.random.Generator(np.random.PCG64(5))
+    qs, planted = [], {}
+    for i in range(50):
+        pi = int(rng.integers(0, n))
+        x = np.array(rows[pi]["embedding"], dtype=np.float64)
+        x /= np.linalg.norm(x)
+        g = rng.normal(size=d); g /= np.linalg.norm(g)
+        g -= np.dot(g, x) * x; g /= np.linalg.norm(g)
+        q = 0.92 * x + np.sqrt(1 - 0.92**2) * g
+        qs.append((1000 + i, q.astype(float).tolist()))
+        planted[1000 + i] = rows[pi]["vec_id"]
+    qdf = spark.createDataFrame(qs, "query_id long, embedding array<float>")
+    res = ann_topk_portable(df, qdf, k=5, num_tables=8).collect()
+    hit = {r["query_id"] for r in res if r["neighbor_id"] == planted[r["query_id"]]}
+    assert len(hit) / 50 >= 0.9, len(hit) / 50
