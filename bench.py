@@ -204,7 +204,10 @@ def run_reference_nn_bench(spark) -> dict:
     answer every query by probe + exact verify + argmax.  Reports wall sec
     and queries/sec for comparison against BASELINE.md's analytic model."""
     from lsh_project_spark.config import CrossPolytopeConfig
-    from lsh_project_spark.operators.knn import cp_nearest_neighbor
+    from lsh_project_spark.operators.knn import (
+        cp_nearest_neighbor,
+        cp_nearest_neighbor_broadcast,
+    )
     from lsh_project_spark.sources.vectors import noisy_queries, random_unit_vectors
 
     n, d, q = 65536, 128, 8192
@@ -213,7 +216,7 @@ def run_reference_nn_bench(spark) -> dict:
     data.count()
     queries = noisy_queries(spark, data, q, d, n).persist()
     queries.count()
-    # warmup (codegen) on a slice, then timed full run
+    # join path (scales to any index size): warmup on a slice, timed full run
     cp_nearest_neighbor(data, queries.limit(256), cfg).write.mode(
         "overwrite"
     ).format("noop").save()
@@ -222,11 +225,20 @@ def run_reference_nn_bench(spark) -> dict:
         "noop"
     ).save()
     wall = time.time() - t0
+    # broadcast-index path (the reference's in-memory probe, one per core):
+    # index build excluded from the timed query loop like the reference's
+    bcast = cp_nearest_neighbor_broadcast(data, queries, cfg)
+    bcast.limit(64).write.mode("overwrite").format("noop").save()  # warmup
+    t0 = time.time()
+    bcast.write.mode("overwrite").format("noop").save()
+    bwall = time.time() - t0
     data.unpersist()
     queries.unpersist()
     return {
         "ref_nn_wall_sec": round(wall, 2),
         "ref_nn_queries_per_sec": round(q / wall, 1),
+        "ref_nn_bcast_wall_sec": round(bwall, 2),
+        "ref_nn_bcast_queries_per_sec": round(q / bwall, 1),
         "ref_nn_config": f"n={n} d={d} q={q} k=2 L=8",
     }
 

@@ -84,3 +84,27 @@ def test_multiprobe_base_bucket_matches_single_probe(spark, planted_fixture):
         # within-partition order and probes are emitted base-first
         probe0.setdefault(key, r["bucket"])
     assert probe0 == single
+
+
+def test_broadcast_nn_matches_join_path(spark, planted_fixture):
+    from lsh_project_spark.operators.knn import (
+        cp_nearest_neighbor,
+        cp_nearest_neighbor_broadcast,
+    )
+
+    data, n, d, q = planted_fixture
+    queries = planted_distance_queries(spark, data, 128, d, n, r=0.5)
+    cfg = CrossPolytopeConfig(dim=d, k=1, num_tables=4)
+    join_path = {
+        r["qid"]: r["nn_id"]
+        for r in cp_nearest_neighbor(data, queries, cfg).collect()
+    }
+    bcast_path = {
+        r["qid"]: r["nn_id"]
+        for r in cp_nearest_neighbor_broadcast(data, queries, cfg).collect()
+    }
+    # same buckets, same verify: identical answers wherever the join path
+    # found any candidate (the broadcast path answers every query)
+    for qid, nn in join_path.items():
+        assert bcast_path[qid] == nn, qid
+    assert len(bcast_path) == 128
