@@ -547,7 +547,8 @@ flagged AS (
 ),
 sessed AS (
   SELECT user_id, ts, event_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, count(*) AS n_events,

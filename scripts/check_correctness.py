@@ -35,6 +35,11 @@ def value_hash(rows, colnames) -> str:
 def _norm(v):
     if isinstance(v, float):
         return round(v, 9)
+    # pandas Timestamp vs datetime.datetime: same value, different repr.
+    # The driver gate treats them as equal (events_hourly was green in r2),
+    # so normalize to datetime here.
+    if hasattr(v, "to_pydatetime"):
+        return v.to_pydatetime()
     return v
 
 
@@ -66,8 +71,16 @@ def main():
             print(f"  {name}: rows={len(srows)} (rows-only check) spark={t1-t0:.1f}s")
             continue
         cur = con.execute(oracles[name])
-        dcols = [d[0] for d in cur.description]
-        drows = [tuple(r) for r in cur.fetchall()]
+        # Faithful to the driver's canonicalizer: materialize DuckDB results
+        # through pandas, so dtype artifacts (e.g. HUGEINT -> float64) show
+        # up HERE, not only in the driver gate.  Series.tolist() yields the
+        # Python type the pandas dtype implies (int64 -> int, float64 ->
+        # float), exactly the divergence class that made event_sessions red
+        # in round 2 while fetchall()-based local checks stayed green.
+        ddf = cur.fetchdf()
+        dcols = list(ddf.columns)
+        dcol_lists = [ddf[c].tolist() for c in dcols]
+        drows = [tuple(vals) for vals in zip(*dcol_lists)] if dcols else []
         t2 = time.time()
         ok_n = len(srows) == len(drows)
         ok_c = sorted(scols) == sorted(dcols)
