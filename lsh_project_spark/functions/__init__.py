@@ -3,16 +3,20 @@ DuckDB oracle)."""
 
 from .hashing import (
     PORTABLE_HASH_MOD,
-    portable_hash60_py,
-    spark_hash60,
-    duckdb_hash60,
+    portable_hash62_py,
+    portable_hash62_np,
+    spark_hash62,
+    duckdb_hash62,
+    hash62_pandas_udf,
     minhash_params,
 )
 
 __all__ = [
     "PORTABLE_HASH_MOD",
-    "portable_hash60_py",
-    "spark_hash60",
-    "duckdb_hash60",
+    "portable_hash62_py",
+    "portable_hash62_np",
+    "spark_hash62",
+    "duckdb_hash62",
+    "hash62_pandas_udf",
     "minhash_params",
 ]

@@ -13,7 +13,7 @@ all rotation/hash work while operands stay cache-resident,
     the verify join ships compact int64 arrays, not strings).
 
 Output: (image_id, phash, hs, cp_buckets, mh_bands, simhash) — a narrow,
-shuffle-free stage.  All hashes share the portable md5 family
+shuffle-free stage.  All hashes share the portable polynomial hash62 family
 (functions/hashing.py) and agree bit-exactly with the JVM expression path
 (operators/signatures.py) and the DuckDB oracle — pinned by tests.
 
@@ -25,7 +25,6 @@ batches is the vectorized engine for exactly this shape.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -34,7 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..config import PipelineConfig
-from ..functions.hashing import PORTABLE_HASH_MOD, minhash_params
+from ..functions.hashing import PORTABLE_HASH_MOD, minhash_params, portable_hash62_np
 from ..oracle.lsh_core import concat_hashes, cp_hash
 from ..params import fold_rotations
 from ..sources.codecs import phash_to_vector
@@ -64,25 +63,23 @@ def _caption_block(
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[int]]:
     """Batch-vectorized caption signatures for a block of documents.
 
-    One md5 per *unique* shingle in the block (small vocabularies repeat
-    shingles heavily across docs); MinHash minima and SimHash bit votes run
-    as segment reductions (np.minimum/add.reduceat) over one flat matrix —
-    no per-document numpy call overhead.
+    One hash62 per *unique* shingle in the block (small vocabularies repeat
+    shingles heavily across docs), computed as ONE vectorized numpy pass —
+    no per-shingle Python (round 2's per-unique-shingle md5 loop was 64% of
+    e2e wall; the polynomial family removed it).  MinHash minima and SimHash
+    bit votes run as segment reductions (np.minimum/add.reduceat) over one
+    flat matrix — no per-document numpy call overhead.
 
     Returns (hs int32 arrays, mh band arrays, simhash ints) per doc.
-    h32 = h60 % 2^32 (stored int32-shifted), h56 = h60 >> 4 — one digest
-    serves every consumer, matching the engines' substring(md5, ...)."""
+    h32 = h62 % 2^32 (stored int32-shifted), h56 = h62 >> 4 — one hash
+    serves every consumer, matching the SQL renderings exactly."""
     P = PORTABLE_HASH_MOD
     n = len(texts)
     sh_lists = [_shingle_set(t, k) for t in texts]
     lengths = np.array([len(s) for s in sh_lists], dtype=np.int64)
     flat = np.array([s for lst in sh_lists for s in lst], dtype=object)
     uniq, inv = np.unique(flat, return_inverse=True)
-    h60_uniq = np.fromiter(
-        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in uniq),
-        dtype=np.int64,
-        count=len(uniq),
-    )
+    h60_uniq = portable_hash62_np(uniq)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
 
@@ -100,7 +97,7 @@ def _caption_block(
 
     # simhash votes: ±1 per unique shingle bit (int8), gathered then
     # widened to int32 for the segment sum (doc-size safe); two independent
-    # fingerprints (plain + salted md5), see SimHashConfig
+    # fingerprints (plain + salted hash62), see SimHashConfig
     def _fingerprints(h60s: np.ndarray) -> list[int]:
         h56u = h60s >> 4
         bits_u = (
@@ -111,14 +108,7 @@ def _caption_block(
         return [int(x) for x in np.where(votes > 0, weights[None, :], 0).sum(axis=1)]
 
     simhashes = _fingerprints(h60_uniq)
-    h60b_uniq = np.fromiter(
-        (
-            int(hashlib.md5((SIMHASH_SALT + s).encode("utf-8")).hexdigest()[:15], 16)
-            for s in uniq
-        ),
-        dtype=np.int64,
-        count=len(uniq),
-    )
+    h60b_uniq = portable_hash62_np(np.char.add(SIMHASH_SALT, uniq.astype(str)))
     simhashes2 = _fingerprints(h60b_uniq)
 
     hs32 = (h32u[inv] - (1 << 31)).astype(np.int32)
@@ -209,7 +199,7 @@ def verify_pairs_from_profile(
     only (id, phash, hs) — int64 arrays, no strings through the shuffle.
 
     Jaccard over distinct shingle *hashes* equals Jaccard over shingles up
-    to md5-collision probability (~|S|^2 / 2^32 per doc pair — negligible
+    to h32-collision probability (~|S|^2 / 2^32 per doc pair — negligible
     and pinned by the pipeline-vs-oracle recall tests).
     """
     side = profile.select("image_id", "phash", "hs")

@@ -7,10 +7,11 @@ batch — the Spark-native form of the reference's "bulked" kernels
 every table's every hash at once, then a vectorized argmax + bit-concat.
 The folded rotation tensor is broadcast via closure capture (~1 MiB).
 
-MinHash and SimHash (no reference analog; SURVEY.md §2.9) are pure JVM
-column expressions — split/transform/explode/groupBy — with the portable
-md5-based hash family (functions/hashing.py), so they stay inside
-whole-stage codegen and match the DuckDB oracle bit-for-bit.
+MinHash and SimHash (no reference analog; SURVEY.md §2.9) are JVM column
+expressions — split/transform/explode/groupBy — around ONE Arrow-vectorized
+hash projection (the portable polynomial hash62 family,
+functions/hashing.py), so the array folds stay inside whole-stage codegen
+and everything matches the DuckDB oracle bit-for-bit.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..config import CrossPolytopeConfig, MinHashConfig, SimHashConfig
-from ..functions.hashing import PORTABLE_HASH_MOD, minhash_params, spark_hash60
+from ..functions.hashing import PORTABLE_HASH_MOD, hash62_pandas_udf, minhash_params
 from ..oracle.lsh_core import concat_hashes, cp_hash
 from ..params import fold_rotations
 
@@ -163,7 +164,9 @@ def minhash_band_table(
     Band hash = sum over the band's rows of ((mh_i % 2^32) * c_i) % p —
     order-independent, so no sort inside the aggregation.
 
-    Plan shape (scale-critical): md5 is evaluated ONCE per shingle, the only
+    Plan shape (scale-critical): hash62 is evaluated ONCE per shingle as one
+    Arrow-vectorized projection (numpy inside a pandas UDF — the portable
+    family's fast rendering; bit-identical to the SQL renderings), the only
     shuffle is the per-doc collect_set of 32-bit shingle hashes (bounded by
     tokens/doc), and the num_perm mins + band sums run as tight higher-order
     array expressions inside whole-stage codegen — no num_perm-times row
@@ -177,11 +180,11 @@ def minhash_band_table(
     ) + ")"
     c_arr = "array(" + ", ".join(f"{int(c[i])}L" for i in range(cfg.num_perm)) + ")"
     r = cfg.rows_per_band
-    h32 = f"({spark_hash60('shingle')} % 4294967296)"
+    h62 = hash62_pandas_udf()
     hashed = docs.select(
         F.col(id_col),
         F.explode(shingle_expr(text_col, cfg.shingle_size)).alias("shingle"),
-    ).select(id_col, F.expr(h32).alias("h32"))
+    ).select(id_col, (h62(F.col("shingle")) % F.lit(4294967296)).alias("h32"))
     sigs = hashed.groupBy(id_col).agg(F.collect_set("h32").alias("hs"))
     mh = sigs.select(
         id_col,
@@ -207,7 +210,7 @@ def minhash_band_table(
 
 # --------------------------------------------------------------- SimHash (JVM)
 
-SIMHASH_BITS = 56  # 14 md5 hex chars: every bit op stays in signed int64
+SIMHASH_BITS = 56  # bits 0..55 of hash62 >> 4: every bit op stays in signed int64
 
 
 SIMHASH_SALT = "s2:"  # prefix for the second independent fingerprint
@@ -217,23 +220,25 @@ def simhash_table(
     docs: DataFrame, cfg: SimHashConfig, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, text) -> (id, simhash, simhash2): two independent 56-bit SimHash
-    fingerprints over distinct word 3-shingles, JVM-only (the second uses a
-    salted hash family — together they band into 4 x 28-bit slices, see
-    SimHashConfig).
+    fingerprints over distinct word 3-shingles (the second uses a salted
+    hash family — together they band into 4 x 28-bit slices, see
+    SimHashConfig).  The per-shingle hash62 is ONE Arrow-vectorized
+    projection; votes + fingerprint fold stay JVM higher-order expressions.
 
-    bit b = 1 iff sum over shingles of (2*bit_b(hash56(shingle)) - 1) > 0.
-    Shingle features (vs raw tokens) keep fingerprints spread out when the
-    vocabulary is small — token-level SimHash collapses onto few values and
-    floods the band buckets.
+    bit b = 1 iff sum over shingles of (2*bit_b(hash56(shingle)) - 1) > 0,
+    with hash56 = hash62 >> 4 (only bits 0..55 are read).  Shingle features
+    (vs raw tokens) keep fingerprints spread out when the vocabulary is
+    small — token-level SimHash collapses onto few values and floods the
+    band buckets.
     """
-    h56 = "cast(conv(substring(md5(tok), 1, 14), 16, 10) as bigint)"
-    h56b = (
-        f"cast(conv(substring(md5(concat('{SIMHASH_SALT}', tok)), 1, 14), 16, 10)"
-        " as bigint)"
-    )
+    h62 = hash62_pandas_udf()
     hashed = docs.select(
         F.col(id_col), F.explode(shingle_expr(text_col, 3)).alias("tok")
-    ).select(id_col, F.expr(h56).alias("h"), F.expr(h56b).alias("h2"))
+    ).select(
+        id_col,
+        F.shiftright(h62(F.col("tok")), 4).alias("h"),
+        F.shiftright(h62(F.concat(F.lit(SIMHASH_SALT), F.col("tok"))), 4).alias("h2"),
+    )
 
     def fold(col: str) -> str:
         # one shuffle (collect per-doc token hashes), then bit votes +

@@ -92,13 +92,13 @@ def doc_fingerprint(
 
     Output is exploded to (doc_id, rank, hash) scalar rows — rank 1 = the
     smallest hash — so the sketch is canonical for row-wise comparison."""
-    from ..functions.hashing import spark_hash60
+    from ..functions.hashing import spark_hash62
 
     fp = docs.select(
         F.col(id_col),
         F.expr(
             f"slice(array_sort(transform({shingle_expr_sql(text_col, 3)}, "
-            f"s -> {spark_hash60('s')})), 1, {bottom_k})"
+            f"s -> {spark_hash62('s')})), 1, {bottom_k})"
         ).alias("fingerprint"),
     )
     return fp.select(

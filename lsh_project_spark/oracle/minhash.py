@@ -14,7 +14,7 @@ from ..functions.hashing import (
     PORTABLE_HASH_MOD,
     minhash_apply_py,
     minhash_params,
-    portable_hash60_py,
+    portable_hash62_np,
 )
 
 H32 = 1 << 32
@@ -37,8 +37,8 @@ def minhash_signature(text: str, cfg: MinHashConfig) -> np.ndarray:
     """int64 [num_perm] signature: min over shingles of (a*h32+b) mod p."""
     a, b, _ = minhash_params(cfg.num_perm, cfg.seed)
     sh = sorted(shingles(text, cfg.shingle_size))
-    h60 = np.array([portable_hash60_py(s) for s in sh], dtype=np.int64)
-    return minhash_apply_py(h60, a, b).min(axis=0)
+    h62 = portable_hash62_np(sh)
+    return minhash_apply_py(h62, a, b).min(axis=0)
 
 
 def band_hashes(sig: np.ndarray, cfg: MinHashConfig) -> np.ndarray:

@@ -1,7 +1,7 @@
 """SimHash test oracle (Charikar '02).  No reference analog (SURVEY.md §2.9).
 
-56-bit fingerprint (14 md5 hex chars) so every bit test stays in signed
-int64 and renders identically in Spark SQL and DuckDB: bit b of the
+56-bit fingerprint (hash62 >> 4; bits 0..55) so every bit test stays in
+signed int64 and renders identically in Spark SQL and DuckDB: bit b of the
 fingerprint is 1 iff  sum over distinct word-3-shingles of
 (2*bit_b(hash56(shingle)) - 1) > 0.  Ties (sum == 0) resolve to bit 0.
 Shingle features (vs raw tokens) keep fingerprints spread out under small
@@ -10,15 +10,17 @@ vocabularies.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
+
+from ..functions.hashing import portable_hash62_py
 
 SIMHASH_BITS = 56
 
+_H56_MASK = (1 << SIMHASH_BITS) - 1
+
 
 def hash56_py(s: str) -> int:
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:14], 16)
+    return (portable_hash62_py(s) >> 4) & _H56_MASK
 
 
 def simhash64(

@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import MinHashConfig, SimHashConfig
-from ..functions.hashing import spark_hash60, duckdb_hash60
+from ..functions.hashing import spark_hash62, duckdb_hash62
 from ..operators.signatures import (
     SIMHASH_BITS,
     minhash_band_table,
@@ -96,7 +96,7 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact text dedup via hash-groupBy: groups of byte-identical documents."""
     d = _docs(spark, sf_dir)
     return (
-        d.select("doc_id", F.expr(spark_hash60("text")).alias("text_hash"))
+        d.select("doc_id", F.expr(spark_hash62("text")).alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
         .filter(F.col("n_docs") >= 2)
@@ -430,7 +430,7 @@ WHERE x.doc_id < y.doc_id
 """,
         "exact_dup_groups": f"""
 SELECT text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
-FROM (SELECT doc_id, {duckdb_hash60('text')} AS text_hash FROM documents)
+FROM (SELECT doc_id, {duckdb_hash62('text')} AS text_hash FROM documents)
 GROUP BY text_hash HAVING count(*) >= 2
 """,
         "shingle_jaccard_pairs": f"""
@@ -520,7 +520,7 @@ FROM scored GROUP BY doc_id
 WITH {_SHINGLE_CTE_FULL},
 fps AS (
   SELECT doc_id,
-         (list_sort(list({duckdb_hash60('shingle')})))[1:8] AS fp
+         (list_sort(list({duckdb_hash62('shingle')})))[1:8] AS fp
   FROM shingled GROUP BY doc_id
 )
 SELECT doc_id, CAST(r.r AS BIGINT) AS rank, fp[r.r] AS hash

@@ -9,7 +9,7 @@ engines; this module renders the DuckDB side.
 from __future__ import annotations
 
 from ..config import MinHashConfig
-from ..functions.hashing import PORTABLE_HASH_MOD, duckdb_hash60, minhash_params
+from ..functions.hashing import PORTABLE_HASH_MOD, duckdb_hash62, minhash_params
 
 P = PORTABLE_HASH_MOD
 
@@ -51,7 +51,7 @@ def duckdb_minhash_bands_sql(cfg: MinHashConfig, table: str = "documents") -> st
 WITH {duckdb_shingles_cte(cfg, table)},
 hashed AS (
   SELECT doc_id,
-         cast(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % 4294967296 AS h32
+         {duckdb_hash62('shingle')} % 4294967296 AS h32
   FROM shingled
 ),
 mh AS (
@@ -91,15 +91,15 @@ def duckdb_dedup_clusters_sql(
     return f"""
 WITH RECURSIVE imgs AS (
   SELECT CAST(doc_id * 1000 AS BIGINT) AS doc_id, text,
-         {duckdb_hash60("concat('img', doc_id)")} AS phash
+         {duckdb_hash62("concat('img', doc_id)")} AS phash
   FROM documents
   UNION ALL
   SELECT CAST(doc_id * 1000 + 1 AS BIGINT), text,
-         xor({duckdb_hash60("concat('img', doc_id)")}, {mask})
+         xor({duckdb_hash62("concat('img', doc_id)")}, {mask})
   FROM documents WHERE doc_id % 3 = 0
   UNION ALL
   SELECT CAST(doc_id * 1000 + 2 AS BIGINT), text,
-         {duckdb_hash60("concat('alt', doc_id)")}
+         {duckdb_hash62("concat('alt', doc_id)")}
   FROM documents WHERE doc_id % 5 = 0
 ),
 mhb AS (SELECT * FROM ({mh})),
@@ -220,14 +220,16 @@ def duckdb_simhash_sql(
 ) -> str:
     """DuckDB query: (doc_id, simhash, simhash2) matching
     operators/signatures.simhash_table (two independent SimHash
-    fingerprints over distinct word-3-shingles; second = salted md5)."""
+    fingerprints over distinct word-3-shingles; second = salted hash62)."""
     cfg = MinHashConfig(shingle_size=3)
+    h_expr = duckdb_hash62("shingle")
+    h2_expr = duckdb_hash62(f"('{salt}' || shingle)")
     return f"""
 WITH {duckdb_shingles_cte(cfg, table)},
 hashed AS (
   SELECT doc_id,
-         cast(('0x' || substring(md5(shingle), 1, 14)) AS BIGINT) AS h,
-         cast(('0x' || substring(md5('{salt}' || shingle), 1, 14)) AS BIGINT) AS h2
+         ({h_expr} >> 4) AS h,
+         ({h2_expr} >> 4) AS h2
   FROM shingled
 ),
 votes AS (

@@ -242,7 +242,7 @@ def images_portable(docs):
                              -> verified via Hamming AND Jaccard; candidate
                                 via all 16 MinHash bands (certainty: equal
                                 captions give equal signatures)
-      v2: doc_id % 5 == 0    caption = text, phash = hash60('alt'||doc_id)
+      v2: doc_id % 5 == 0    caption = text, phash = hash62('alt'||doc_id)
                              -> verified via Jaccard only (random phash)
     Natural near-duplicate captions inside `documents` add further edges.
 
@@ -251,10 +251,10 @@ def images_portable(docs):
     exact cross-engine oracle."""
     import pyspark.sql.functions as F
 
-    from ..functions.hashing import spark_hash60
+    from ..functions.hashing import spark_hash62
 
-    base_ph = spark_hash60("concat('img', doc_id)")
-    alt_ph = spark_hash60("concat('alt', doc_id)")
+    base_ph = spark_hash62("concat('img', doc_id)")
+    alt_ph = spark_hash62("concat('alt', doc_id)")
     mask = 1 | (1 << 33)  # 2 flipped bits -> Hamming 2
     v0 = docs.select(
         F.expr("cast(doc_id * 1000 as bigint)").alias("image_id"),

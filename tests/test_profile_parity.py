@@ -11,7 +11,7 @@ from lsh_project_spark.oracle.simhash import simhash64
 from lsh_project_spark.operators.profile import multimodal_profile
 from lsh_project_spark.params import fold_rotations
 from lsh_project_spark.sources.codecs import phash_to_vector
-from lsh_project_spark.functions.hashing import portable_hash60_py
+from lsh_project_spark.functions.hashing import portable_hash62_py
 
 ROWS = [
     ("a1", "the quick brown fox jumps over the lazy dog by the river", 123456789),
@@ -39,7 +39,7 @@ def test_profile_matches_component_oracles(spark):
         # shingle-hash set == oracle shingles hashed (int32-shifted)
         expect_hs = sorted(
             {
-                (portable_hash60_py(s) % (1 << 32)) - (1 << 31)
+                (portable_hash62_py(s) % (1 << 32)) - (1 << 31)
                 for s in shingles(caption, cfg.minhash.shingle_size)
             }
         )
