@@ -12,9 +12,11 @@ characters, at scale, in three stages:
    (sliding_window_view), shuffle-free.
 2. **Candidate pairs**: fingerprint equi-join (same bucket-join pattern as
    every other modality; hot-fingerprint star defense applies).
-3. **Exact verify**: per candidate pair, the true longest-common-substring
-   length via a generalized *suffix array* + LCP on the concatenated pair
-   (functions/suffix.py) — batched in a pandas UDF.
+3. **Exact verify**: per candidate pair, the exact longest-common-substring
+   length via vectorized diagonal-run scanning over shared g-gram positions
+   (lcs_len_via_diagonal_runs) — batched in a pandas UDF; the generalized
+   *suffix array* + LCP (functions/suffix.py) remains the fallback for
+   low-entropy documents with quadratic match sets.
 
 Cross-partition correctness is free: fingerprints are global values, the
 equi-join sees all documents regardless of partitioning.
@@ -52,6 +54,12 @@ def _gram_dot(win: np.ndarray, mod: int, k: int) -> np.ndarray:
     return (win @ w).astype(np.int64) % mod
 
 
+# row-chunk for the [windows, k] float64 materialization below: peak
+# temporary is _ROW_CHUNK * k * 8 bytes (k=20 -> ~40 MB) regardless of
+# document length (a 1 MB doc would otherwise allocate ~160 MB per lane)
+_ROW_CHUNK = 1 << 18
+
+
 def _kgram_hashes(text: str, k: int) -> np.ndarray:
     """62-bit fingerprints of all char k-grams, fully vectorized numpy
     (sliding_window_view + one batched multiply-accumulate per 31-bit
@@ -62,12 +70,68 @@ def _kgram_hashes(text: str, k: int) -> np.ndarray:
     n = len(x)
     if n < k:
         return np.empty(0, dtype=np.int64)
-    win = np.ascontiguousarray(
-        np.lib.stride_tricks.sliding_window_view(x, k), dtype=np.float64
-    )
-    h1 = _gram_dot(win, _M1, k)
-    h2 = _gram_dot(win, _M2, k)
-    return h1 * _M2 + h2  # < 2^31 * 2^31 + 2^31 < 2^62
+    win = np.lib.stride_tricks.sliding_window_view(x, k)  # view, no copy
+    out = np.empty(len(win), dtype=np.int64)
+    for lo in range(0, len(win), _ROW_CHUNK):
+        blk = np.ascontiguousarray(win[lo : lo + _ROW_CHUNK], dtype=np.float64)
+        h1 = _gram_dot(blk, _M1, k)
+        h2 = _gram_dot(blk, _M2, k)
+        out[lo : lo + _ROW_CHUNK] = h1 * _M2 + h2  # < 2^31*2^31 + 2^31 < 2^62
+    return out
+
+
+# diagonal-run match-pair budget: above this the run scan falls back to the
+# suffix-array verifier (low-entropy docs where one gram repeats heavily can
+# make |{(i,j): gram_a[i]=gram_b[j]}| quadratic; the SA path is O(n log n))
+_DIAG_MATCH_CAP = 4_000_000
+
+
+def lcs_len_via_diagonal_runs(ta: str, tb: str, g: int) -> int:
+    """Exact longest-common-substring length, given it is >= g; returns 0
+    when the two docs share no g-gram (i.e. LCS < g).
+
+    Method (the numpy port of the DuckDB oracle's formulation,
+    plans/entry_queries.py substring_pairs): a common substring of length
+    L >= g produces exactly L-g+1 consecutive shared g-grams at constant
+    alignment diagonal i-j, and conversely — so
+
+        lcs_len = g - 1 + (longest run of consecutive shared g-grams
+                           on one diagonal).
+
+    Everything is vectorized over the shared-gram position pairs (sort by
+    (diagonal, i), run-break flags, bincount) — no per-character Python.
+    Replaces the round-2 per-character Kasai loop for pair verification
+    (~10-100x on document-scale texts); the SA/Kasai module remains as the
+    fallback for low-entropy docs whose match set would be quadratic.
+
+    Gram equality is tested via the 62-bit fingerprints (_kgram_hashes): a
+    false positive needs a 2^-62 collision — the same negligible-risk
+    argument as the hash-based Jaccard verify (operators/profile.py).
+    """
+    ha, hb = _kgram_hashes(ta, g), _kgram_hashes(tb, g)
+    if len(ha) == 0 or len(hb) == 0:
+        return 0
+    sb = np.argsort(hb, kind="stable")
+    hb_sorted = hb[sb]
+    left = np.searchsorted(hb_sorted, ha, side="left")
+    right = np.searchsorted(hb_sorted, ha, side="right")
+    cnt = right - left
+    m = int(cnt.sum())
+    if m == 0:
+        return 0
+    if m > _DIAG_MATCH_CAP:
+        return longest_common_substring_len(ta, tb)
+    i = np.repeat(np.arange(len(ha), dtype=np.int64), cnt)
+    starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    offs = np.repeat(left - starts, cnt) + np.arange(m, dtype=np.int64)
+    j = sb[offs]
+    diag = i - j
+    order = np.lexsort((i, diag))
+    di, ii = diag[order], i[order]
+    new_run = np.ones(m, dtype=bool)
+    new_run[1:] = (di[1:] != di[:-1]) | (ii[1:] != ii[:-1] + 1)
+    run_len = np.bincount(np.cumsum(new_run) - 1)
+    return int(g - 1 + run_len.max())
 
 
 def winnowed_fingerprints(
@@ -124,7 +188,7 @@ def substring_pairs(
             if not len(pdf):
                 continue
             lens = [
-                longest_common_substring_len(ta, tb)
+                lcs_len_via_diagonal_runs(ta, tb, min_len)
                 for ta, tb in zip(pdf["ta"], pdf["tb"])
             ]
             out = pdf[["a", "b"]].copy()

@@ -111,3 +111,43 @@ def test_winnowed_fingerprints_deterministic(spark):
     a = sorted(r["fp"] for r in winnowed_fingerprints(df, cfg).collect())
     b = sorted(r["fp"] for r in winnowed_fingerprints(df, cfg).collect())
     assert a == b and len(a) > 0
+
+
+def test_diagonal_run_lcs_matches_suffix_array_oracle():
+    """The vectorized pair verifier (diagonal runs over shared g-gram
+    positions) must agree exactly with the generalized-suffix-array LCS
+    whenever LCS >= g, and return 0 when the docs share no g-gram."""
+    import random
+    import string
+
+    from lsh_project_spark.operators.substring import lcs_len_via_diagonal_runs
+
+    rng = random.Random(7)
+
+    def rnd(n):
+        return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+    for _ in range(60):
+        g = rng.choice([10, 20, 50])
+        a, b = rnd(rng.randint(g, 300)), rnd(rng.randint(g, 300))
+        if rng.random() < 0.7:  # plant a shared block most of the time
+            sub = rnd(rng.randint(g, 100))
+            pa, pb = rng.randint(0, len(a)), rng.randint(0, len(b))
+            a, b = a[:pa] + sub + a[pa:], b[:pb] + sub + b[pb:]
+        truth = longest_common_substring_len(a, b)
+        got = lcs_len_via_diagonal_runs(a, b, g)
+        assert got == (truth if truth >= g else 0)
+
+
+def test_diagonal_run_lcs_low_entropy_fallback():
+    """Repetitive docs (quadratic shared-gram sets) route through the SA
+    fallback and still return the exact LCS."""
+    from lsh_project_spark.operators import substring as S
+
+    a, b = "ab" * 3000, "ab" * 2500
+    old_cap = S._DIAG_MATCH_CAP
+    S._DIAG_MATCH_CAP = 1000  # force the fallback at test size
+    try:
+        assert S.lcs_len_via_diagonal_runs(a, b, 50) == longest_common_substring_len(a, b)
+    finally:
+        S._DIAG_MATCH_CAP = old_cap
