@@ -113,17 +113,18 @@ def candidate_pairs(
     )
 
     if drop_stats is not None:
-        # per hot bucket: full pair count C(n,2) minus the <= n-1 star +
-        # <= salt_groups chain edges actually emitted (exact accounting of
-        # the skew defense, replacing the reference's silent overflow drop)
+        # per hot bucket with n members in g salt groups the star edges are
+        # n - g (each group: size_g - 1) and the chain edges are g - 1, so
+        # exactly n - 1 edges are emitted and C(n,2) - (n-1) are dropped
+        # (exact accounting of the skew defense, replacing the reference's
+        # silent overflow drop)
         hb = sized.filter(F.col("n") > T).groupBy(*bc).agg(
             F.first("n").alias("n"),
-            F.count("*").alias("groups"),
         )
         drop_stats["df"] = hb.agg(
             F.count("*").alias("hot_buckets"),
             F.coalesce(
-                F.sum(F.expr("n * (n - 1) / 2 - (n - 1) - (groups - 1)")), F.lit(0)
+                F.sum(F.expr("n * (n - 1) / 2 - (n - 1)")), F.lit(0)
             ).cast("long").alias("pairs_dropped"),
             F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket"),
         )

@@ -175,7 +175,15 @@ def _connected_components_impl(
     roots = cur.select(F.col("b").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
     )
-    return children.unionByName(roots).dropDuplicates(["id"])
+    result = children.unionByName(roots).dropDuplicates(["id"])
+    # materialize (eager checkpoint) while the caller's constraint-propagation
+    # guard is still in force: the union over the shared checkpointed subtree
+    # must be OPTIMIZED with the conf off, not merely planned — otherwise the
+    # UnionBase.rewriteConstraints crash the guard exists for fires at action
+    # time in sessions that enable constraint propagation
+    return result.checkpoint(eager=True) if reliable else result.localCheckpoint(
+        eager=True
+    )
 
 
 def assign_clusters(

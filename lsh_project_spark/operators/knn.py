@@ -88,10 +88,13 @@ def cp_nearest_neighbor_broadcast(
     shuffles.  Above ``max_index_rows`` use ``cp_nearest_neighbor`` (the
     bucket equi-join), which scales to any index size.
     """
-    rows = data.select(id_col, vec_col).collect()
+    # limit() bounds what ever reaches the driver, so the guard actually
+    # prevents the OOM it exists for (collecting first and counting after
+    # would defeat it)
+    rows = data.select(id_col, vec_col).limit(max_index_rows + 1).collect()
     if len(rows) > max_index_rows:
         raise ValueError(
-            f"index has {len(rows)} rows > max_index_rows={max_index_rows}; "
+            f"index exceeds max_index_rows={max_index_rows}; "
             "use cp_nearest_neighbor (join path)"
         )
     ids = np.array([r[id_col] for r in rows])
@@ -118,8 +121,8 @@ def cp_nearest_neighbor_broadcast(
                 continue
             q = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
             qb = concat_hashes(cp_hash((q @ rot2d).reshape(len(q), L, k, d)), d)
-            out_ids = np.empty(len(q), dtype=l_ids.dtype)
-            for i in range(len(q)):
+            out_ids: list = [None] * len(q)  # no bucket hit -> null, never a
+            for i in range(len(q)):          # fabricated "nearest neighbor"
                 cand_chunks = []
                 for t in range(L):
                     uniq, starts, ends, order = l_tables[t]
@@ -130,10 +133,10 @@ def cp_nearest_neighbor_broadcast(
                     cand = np.unique(np.concatenate(cand_chunks))
                     scores = l_X[cand] @ q[i]
                     # first-max-wins = smallest row index at max score
-                    out_ids[i] = l_ids[cand[np.argmax(scores)]]
-                else:
-                    out_ids[i] = l_ids[0] if len(l_ids) else -1
-            yield pd.DataFrame({qid_col: pdf[qid_col], "nn_id": out_ids})
+                    out_ids[i] = l_ids[cand[np.argmax(scores)]].item()
+            yield pd.DataFrame(
+                {qid_col: pdf[qid_col], "nn_id": pd.Series(out_ids, dtype=object)}
+            )
 
     qid_type = dict(queries.dtypes)[qid_col]
     id_type = dict(data.dtypes)[id_col]

@@ -178,14 +178,15 @@ def portable_signatures(
 def ann_topk_portable(
     vectors: DataFrame, queries: DataFrame, k: int = 5, num_tables: int = 8,
     bits: int | None = None, id_col: str = "vec_id", vec_col: str = "embedding",
-    qid_col: str = "query_id", dim: int = 64,
+    qid_col: str = "query_id", dim: int = 64, n: int | None = None,
 ) -> DataFrame:
     """Sign-LSH ANN with cross-engine-portable hashing: candidates from
     shared (table, bucket), exact cosine re-rank, top-k.  ``bits`` defaults
     to auto_bits(n) so bucket occupancy — and therefore per-query candidate
-    count — stays ~constant as the corpus grows."""
+    count — stays ~constant as the corpus grows.  Pass ``n`` (corpus size,
+    e.g. from catalog stats) to avoid the count job."""
     if bits is None:
-        bits = auto_bits(vectors.count())
+        bits = auto_bits(n if n is not None else vectors.count())
     planes = rademacher_planes(ANN_SEED, num_tables, ANN_MAX_BITS, dim)
     vsig = portable_signatures(vectors, planes, bits, id_col, vec_col, dim)
     qsig = portable_signatures(
@@ -231,16 +232,16 @@ def ann_topk_lsh(
     vectors: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     num_tables: int = 8, bits: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding", qid_col: str = "query_id",
-    probes: int = 1,
+    probes: int = 1, n: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH candidates -> exact cosine re-rank.
 
     At scale this replaces the O(Q*N) cross join with an equi-join whose
     cost tracks true near-neighbor density.  ``bits`` defaults to
-    auto_bits(n) (bucket occupancy ~constant in n); ``probes`` enables
-    query-side multi-probe."""
+    auto_bits(n) (bucket occupancy ~constant in n; pass ``n`` from catalog
+    stats to avoid the count job); ``probes`` enables query-side multi-probe."""
     if bits is None:
-        bits = auto_bits(vectors.count())
+        bits = auto_bits(n if n is not None else vectors.count())
     vsig = hyperplane_signatures(
         vectors, dim, num_tables, bits, id_col=id_col, vec_col=vec_col
     )

@@ -71,11 +71,11 @@ def test_hot_bucket_star_keeps_component_and_counts_drops(spark):
     assert len(set(comp.values())) == 1
     row = stats["df"].collect()[0]
     assert row["hot_buckets"] == 1
-    # dropped = C(n,2) - (n-1 member-star edges) - (groups-1 chain edges),
-    # with 1 <= groups <= salt_groups
+    # exactly n-1 edges are emitted per hot bucket (n-g member-star +
+    # g-1 chain), so dropped is exactly C(n,2) - (n-1)
     full = len(members) * (len(members) - 1) // 2
-    emitted_star = len(members) - 1
-    assert full - emitted_star - 3 <= row["pairs_dropped"] <= full - emitted_star
+    assert row["pairs_dropped"] == full - (len(members) - 1)
+    assert len(pairs) == len(members) - 1
     assert row["max_bucket"] == len(members)
 
 
