@@ -8,9 +8,10 @@ Prints ONE JSON line:
   {"metric": "dedup_e2e_wall_sec", "value": <sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>, "images_per_sec": <n>, ...}
 
-`python bench.py --scaling` additionally runs the identical job at local[8]
-and local[N] (N = SPARK_GRAFT_CPUS) on the same input parquet and writes
-BENCH/BASELINE.md with both throughputs + scaling efficiency — the sandbox
+`python bench.py --scaling` delegates to scripts/scaling_evidence.py: the
+identical job at two parallelism levels on the same input parquet, with
+event-log core-utilization attribution, distributed-CC rows, and the
+two-process contention probe; it writes BENCH/BASELINE.md — the sandbox
 rendering of the BASELINE.json two-cluster-size criterion (no real cluster
 here; see BASELINE.md "Sandbox scaling-evidence protocol").
 """
@@ -39,6 +40,10 @@ BENCH_QUERIES = [
     "minhash_candidate_pairs",
     "embedding_topk",
     "tpch_pricing_summary",
+    # the two heaviest novel operators — benched so a regression in the
+    # winnow/SA pass or the full-pipeline+CC path is visible round-over-round
+    "substring_pairs",
+    "dedup_cluster_sizes",
 ]
 
 
@@ -256,98 +261,55 @@ def run_queries(spark) -> dict:
 
 
 def main() -> None:
-    scaling = "--scaling" in sys.argv
+    scaling = "--scaling" in sys.argv or "--scaling-only" in sys.argv
+    scaling_only = "--scaling-only" in sys.argv  # skip the 1-level suite
 
     spark = _mk_spark(CPUS, max(8, CPUS * 8))
     n_images = prepare_images(spark)
-    wall, n, stages, model = run_dedup(spark)
-    qsecs = run_queries(spark)
-    ann = run_ann_recall_bench(spark)
-    ref_nn = run_reference_nn_bench(spark) if os.environ.get(
-        "SPARK_GRAFT_REFBENCH", "1"
-    ) == "1" else {}
-    result = {
-        "metric": "dedup_e2e_wall_sec",
-        "value": round(wall, 2),
-        "unit": "sec",
-        "queries": {**qsecs, "dedup_e2e": round(wall, 2), **stages},
-        "sf": _sf(),
-        "images": n,
-        "images_per_sec": round(n / wall, 1),
-        "cores": CPUS,
-        "perf_model": model,
-        **ann,
-        **ref_nn,
-    }
-    spark.stop()
+    if scaling_only:
+        result = {"metric": "scaling_only", "images": n_images, "sf": _sf()}
+        spark.stop()
+    else:
+        wall, n, stages, model = run_dedup(spark)
+        qsecs = run_queries(spark)
+        ann = run_ann_recall_bench(spark)
+        ref_nn = run_reference_nn_bench(spark) if os.environ.get(
+            "SPARK_GRAFT_REFBENCH", "1"
+        ) == "1" else {}
+        result = {
+            "metric": "dedup_e2e_wall_sec",
+            "value": round(wall, 2),
+            "unit": "sec",
+            "queries": {**qsecs, "dedup_e2e": round(wall, 2), **stages},
+            "sf": _sf(),
+            "images": n,
+            "images_per_sec": round(n / wall, 1),
+            "cores": CPUS,
+            "perf_model": model,
+            **ann,
+            **ref_nn,
+        }
+        spark.stop()
 
     if scaling:
-        from lsh_project_spark.config import PipelineConfig
-        from lsh_project_spark.pipeline import dedup_pipeline
+        # one protocol, one artifact: scripts/scaling_evidence.py runs the
+        # two-level comparison with event-log utilization attribution, the
+        # distributed-CC rows, and the two-process contention probe, and
+        # writes BENCH/BASELINE.md itself
+        import subprocess
 
-        lo_c, hi_c = (
-            int(x)
-            for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16").split(",")
+        proc = subprocess.run(
+            [sys.executable, "scripts/scaling_evidence.py"],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_SCALING_IMAGES": IMAGES_PATH},
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        levels = []
-        for cores, shuffle in ((lo_c, lo_c * 8), (hi_c, hi_c * 8)):
-            s = _mk_spark(cores, shuffle)
-            images = s.read.parquet(IMAGES_PATH)
-            n2 = images.count()
-            cfg = PipelineConfig()
-            # codegen/JIT warmup on a slice, then cold-cache timed runs
-            dedup_pipeline(images.limit(20000), cfg).assignments.write.mode(
-                "overwrite"
-            ).format("noop").save()
-            s.catalog.clearCache()
-            walls = []
-            for _ in range(2):
-                t = time.time()
-                dedup_pipeline(images, cfg).assignments.write.mode(
-                    "overwrite"
-                ).format("noop").save()
-                walls.append(time.time() - t)
-                s.catalog.clearCache()
-            w = min(walls)
-            levels.append(
-                {"cores": cores, "shuffle_partitions": shuffle,
-                 "wall_sec": round(w, 2), "images_per_sec": round(n2 / w, 1),
-                 "runs": [round(x, 2) for x in walls]}
-            )
-            s.stop()
-        eff = levels[1]["images_per_sec"] / (
-            (hi_c / lo_c) * levels[0]["images_per_sec"]
-        )
-        result["scaling"] = {"levels": levels, "efficiency": round(eff, 3)}
-        _write_scaling_report(levels, eff, n_images)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                result["scaling"] = json.loads(line)
+                break
 
     print(json.dumps(result))
-
-
-def _write_scaling_report(levels, eff, n_images) -> None:
-    os.makedirs("BENCH", exist_ok=True)
-    lo, hi = levels
-    ratio = hi["cores"] // lo["cores"]
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(
-            f"""# BENCH — two-parallelism-level scaling evidence
-
-Sandbox rendering of the BASELINE.json criterion "throughput scaling
-efficiency >= 0.8 between N and 4N executors" (no real cluster is
-available here): the identical dedup job on the identical input parquet
-({n_images} images derived from {SF_DIR}/documents), run at two local
-parallelism levels.  AQE on in both; per level: codegen warmup on a 20k-row
-slice, caches cleared, then two timed cold-cache end-to-end runs (min
-reported).
-
-| level | cores | shuffle.partitions | runs (sec) | wall sec | images/sec |
-|---|---|---|---|---|---|
-| N  | {lo['cores']} | {lo['shuffle_partitions']} | {lo['runs']} | {lo['wall_sec']} | {lo['images_per_sec']} |
-| {ratio}N | {hi['cores']} | {hi['shuffle_partitions']} | {hi['runs']} | {hi['wall_sec']} | {hi['images_per_sec']} |
-
-**efficiency = throughput({ratio}N) / ({ratio} x throughput(N)) = {eff:.3f}**
-"""
-        )
 
 
 if __name__ == "__main__":

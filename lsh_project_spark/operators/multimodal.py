@@ -20,8 +20,10 @@ from ..sources.codecs import area_resize, decode_image, encode_image, gray
 
 
 def decode_image_stats(images: DataFrame) -> DataFrame:
-    """(image_id, bytes, fmt) -> per-channel means + stddev + a simple
-    sharpness proxy (mean |laplacian|); the canonical decode+feature pass."""
+    """(image_id, bytes, fmt) -> decoded dimensions (FROM the pixel array,
+    not metadata), per-channel means + stddev + a simple sharpness proxy
+    (mean |laplacian|); the canonical decode+feature pass."""
+    id_type = dict(images.dtypes)["image_id"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -36,6 +38,9 @@ def decode_image_stats(images: DataFrame) -> DataFrame:
                 rows.append(
                     {
                         "image_id": image_id,
+                        "w": px.shape[1],
+                        "h": px.shape[0],
+                        "fmt": fmt,
                         "mean_r": round(float(px[..., 0].mean()), 4),
                         "mean_g": round(float(px[..., 1].mean()), 4),
                         "mean_b": round(float(px[..., 2].mean()), 4),
@@ -47,7 +52,8 @@ def decode_image_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run,
-        schema="image_id string, mean_r double, mean_g double, mean_b double, "
+        schema=f"image_id {id_type}, w int, h int, fmt string, "
+        "mean_r double, mean_g double, mean_b double, "
         "stddev double, sharpness double",
     )
 
@@ -55,6 +61,7 @@ def decode_image_stats(images: DataFrame) -> DataFrame:
 def resize_images(images: DataFrame, factor: int = 2) -> DataFrame:
     """Downsample by an integer factor (area mean) and re-encode in the
     same format; returns the input_hint schema with updated bytes/w/h."""
+    id_type = dict(images.dtypes)["image_id"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,7 +87,7 @@ def resize_images(images: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
-        run, schema="image_id string, bytes binary, w int, h int, fmt string"
+        run, schema=f"image_id {id_type}, bytes binary, w int, h int, fmt string"
     )
 
 

@@ -369,6 +369,22 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode gate: derive variable-size images deterministically
+    (size = 32 + doc_id%5 * 16, fmt by doc_id parity), halve them with
+    resize_images (decode -> area-mean -> re-encode), then report the
+    dimensions DECODED FROM THE RESIZED BYTES.  The DuckDB oracle predicts
+    (w, h, fmt) from doc_id alone; any break in the encode/resize/decode
+    plumbing (self-built codecs, sources/codecs.py) shows up as a dim or
+    row mismatch."""
+    from ..operators.multimodal import decode_image_stats, resize_images
+    from ..sources.fixtures import images_sized
+
+    imgs = images_sized(_docs(spark, sf_dir))
+    resized = resize_images(imgs, factor=2)
+    return decode_image_stats(resized).select("image_id", "w", "h", "fmt")
+
+
 QUERIES = {
     "minhash_bands": q_minhash_bands,
     "simhash": q_simhash,
@@ -389,6 +405,7 @@ QUERIES = {
     "substring_pairs": q_substring_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "image_decode_stats": q_image_decode_stats,
 }
 
 
@@ -561,6 +578,16 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
         "dedup_cluster_sizes": duckdb_dedup_clusters_sql(MH_CFG),
+        # the oracle PREDICTS post-resize decoded dims from the generation
+        # rule (size = 32 + doc_id%5*16, halved); the Spark side must
+        # round-trip real bytes through encode -> resize -> decode
+        "image_decode_stats": """
+SELECT doc_id AS image_id,
+       CAST((32 + (doc_id % 5) * 16) // 2 AS INT) AS w,
+       CAST((32 + (doc_id % 5) * 16) // 2 AS INT) AS h,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+FROM documents
+""",
         "ann_lsh_topk": _ann_oracle_sql(),
         "substring_pairs": """
 -- exact oracle for the winnowing + suffix-array pass: two docs pair iff

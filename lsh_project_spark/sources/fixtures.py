@@ -272,3 +272,35 @@ def images_portable(docs):
         F.expr(alt_ph).alias("phash"),
     )
     return v0.unionByName(v1).unionByName(v2)
+
+
+def images_sized(docs, seed: int = 42):
+    """Deterministic variable-size images for the multimodal decode gate:
+    per document, size = 32 + (doc_id % 5) * 16 and fmt = png (even doc_id)
+    / jpeg (odd) — a rule simple enough that the DuckDB oracle can PREDICT
+    the decoded dimensions from doc_id alone, while the Spark side must
+    round-trip real bytes through the self-built codecs to report them.
+    Returns the input_hint schema (image_id=doc_id, bytes, w, h, fmt)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                size = 32 + (doc_id % 5) * 16
+                fmt = "png" if doc_id % 2 == 0 else "jpeg"
+                img = _base_image(seed, doc_id, size)
+                rows.append(
+                    {
+                        "image_id": doc_id,
+                        "bytes": encode_image(img, fmt, 90),
+                        "w": size,
+                        "h": size,
+                        "fmt": fmt,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="image_id long, bytes binary, w int, h int, fmt string"
+    )

@@ -12,9 +12,24 @@ then joined against the accumulated signature store:
 ``foreachBatch`` is the right tool here (not a stateful operator): the
 signature store is a growing table, and the join/verify logic is exactly
 the batch operators — streaming only schedules them incrementally.  State
-lives in Parquet (store + pairs), so the stream is restartable from its
+lives in Parquet (stores + pairs), so the stream is restartable from its
 checkpoint directory; dedup semantics match a batch run over the union of
 all micro-batches (pinned by tests/test_streaming.py).
+
+Store layout (the 100 TB shape):
+
+- signature store partitioned by ``pbucket = pmod(xxhash64(modality, band,
+  bucket), P)``: a micro-batch only reads the partitions its OWN buckets
+  hash into (exact — matching (modality, band, bucket) rows cannot live
+  elsewhere), so per-batch store I/O tracks the batch's bucket coverage,
+  not total store size, and the batch side broadcasts so the store never
+  shuffles.
+- profile store partitioned by ``pid = pmod(xxhash64(image_id), P)``: the
+  exact-verify join only reads the partitions holding candidate ids (a
+  per-batch handful), again scan-pruned and broadcast-joined.
+- every ``compact_every`` batches each store is rewritten (one file per
+  partition, duplicates dropped) so the per-partition file count — and
+  with it planning/open cost — stays bounded as batches accumulate.
 """
 
 from __future__ import annotations
@@ -35,16 +50,55 @@ from ..operators.profile import (
 class IncrementalDedup:
     """Micro-batch incremental dedup over a streaming images DataFrame."""
 
-    def __init__(self, spark: SparkSession, state_dir: str, cfg: PipelineConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        cfg: PipelineConfig | None = None,
+        num_store_partitions: int = 64,
+        compact_every: int = 16,
+    ):
         self.spark = spark
         self.cfg = cfg or PipelineConfig()
         self.state_dir = state_dir
+        self.P = num_store_partitions
+        self.compact_every = compact_every
+        self._batches_since_compact = 0
         self.store_path = os.path.join(state_dir, "profile_store")
+        self.sig_store_path = os.path.join(state_dir, "sig_store")
         self.pairs_path = os.path.join(state_dir, "verified_pairs")
         os.makedirs(state_dir, exist_ok=True)
 
     def _store_exists(self) -> bool:
         return os.path.exists(os.path.join(self.store_path, "_SUCCESS"))
+
+    # ---------------------------------------------------------------- state
+
+    def _with_pid(self, profile: DataFrame) -> DataFrame:
+        return profile.withColumn(
+            "pid", F.pmod(F.xxhash64("image_id"), F.lit(self.P))
+        )
+
+    def _with_pbucket(self, sigs: DataFrame) -> DataFrame:
+        return sigs.withColumn(
+            "pbucket", F.pmod(F.xxhash64("modality", "band", "bucket"), F.lit(self.P))
+        )
+
+    def _read_profiles_for(self, ids: DataFrame) -> DataFrame:
+        """Store profiles for the given (image_id) set: partition-pruned
+        scan + broadcast semi-join (the store never shuffles)."""
+        pids = [
+            r["pid"]
+            for r in ids.select(
+                F.pmod(F.xxhash64("image_id"), F.lit(self.P)).alias("pid")
+            ).distinct().collect()
+        ]
+        store = self.spark.read.parquet(self.store_path).filter(
+            F.col("pid").isin(pids)
+        )
+        return store.join(F.broadcast(ids), "image_id", "left_semi").drop("pid")
+
+    # ---------------------------------------------------------------- batch
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: profile the new rows, pair them against the
@@ -56,21 +110,33 @@ class IncrementalDedup:
         if new_profile.count() == 0:
             new_profile.unpersist()
             return
-        new_sigs = profile_signatures(new_profile, cfg)
+        new_sigs = self._with_pbucket(profile_signatures(new_profile, cfg)).persist()
+
+        intra = (
+            new_sigs.select("modality", "band", "bucket", F.col("image_id").alias("a"))
+            .join(
+                new_sigs.select(
+                    "modality", "band", "bucket", F.col("image_id").alias("b")
+                ),
+                ["modality", "band", "bucket"],
+            )
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
 
         if self._store_exists():
-            store_profile = self.spark.read.parquet(self.store_path)
-            all_profile = store_profile.unionByName(new_profile)
-            store_sigs = profile_signatures(store_profile, cfg)
-            # new-vs-store (a from store or new, b always new) + new-vs-new.
-            # The micro-batch side is explicitly broadcast: the growing
-            # store then streams through the join with NO shuffle — the
-            # per-batch cost is one store scan, not a store repartition.
-            # (At cluster scale the next step is a bucket-partitioned
-            # compacted store so the scan itself prunes; the scan-only
-            # shape here is the prerequisite for that.)
+            # new-vs-store: read ONLY the store partitions the new batch's
+            # buckets hash into (exact pruning — equal (modality, band,
+            # bucket) implies equal pbucket), broadcast the new side so the
+            # store streams through the join with no shuffle.
+            hit = [r["pbucket"] for r in new_sigs.select("pbucket").distinct().collect()]
+            store_sigs = self.spark.read.parquet(self.sig_store_path).filter(
+                F.col("pbucket").isin(hit)
+            )
             cross = (
-                store_sigs.select("modality", "band", "bucket", F.col("image_id").alias("a"))
+                store_sigs.select(
+                    "modality", "band", "bucket", F.col("image_id").alias("a")
+                )
                 .join(
                     F.broadcast(
                         new_sigs.select(
@@ -82,36 +148,64 @@ class IncrementalDedup:
                 .filter(F.col("a") != F.col("b"))
                 .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
             )
-            intra = (
-                new_sigs.select("modality", "band", "bucket", F.col("image_id").alias("a"))
-                .join(
-                    new_sigs.select(
-                        "modality", "band", "bucket", F.col("image_id").alias("b")
-                    ),
-                    ["modality", "band", "bucket"],
-                )
-                .filter(F.col("a") < F.col("b"))
-                .select("a", "b")
+            cands = cross.unionByName(intra).dropDuplicates(["a", "b"]).persist()
+            cand_ids = (
+                cands.select(F.col("a").alias("image_id"))
+                .unionByName(cands.select(F.col("b").alias("image_id")))
+                .distinct()
             )
-            cands = cross.unionByName(intra).dropDuplicates(["a", "b"])
+            all_profile = self._read_profiles_for(cand_ids).unionByName(new_profile)
         else:
+            cands = intra.dropDuplicates(["a", "b"]).persist()
             all_profile = new_profile
-            cands = (
-                new_sigs.select("modality", "band", "bucket", F.col("image_id").alias("a"))
-                .join(
-                    new_sigs.select(
-                        "modality", "band", "bucket", F.col("image_id").alias("b")
-                    ),
-                    ["modality", "band", "bucket"],
-                )
-                .filter(F.col("a") < F.col("b"))
-                .select("a", "b")
-            )
 
         pairs = verify_pairs_from_profile(cands, all_profile, cfg)
         pairs.write.mode("append").parquet(self.pairs_path)
-        new_profile.write.mode("append").parquet(self.store_path)
+        new_sigs.write.mode("append").partitionBy("pbucket").parquet(
+            self.sig_store_path
+        )
+        self._with_pid(new_profile).write.mode("append").partitionBy("pid").parquet(
+            self.store_path
+        )
+        cands.unpersist()
+        new_sigs.unpersist()
         new_profile.unpersist()
+        self._batches_since_compact += 1
+        if self._batches_since_compact >= self.compact_every:
+            self.compact()
+
+    # ----------------------------------------------------------- compaction
+
+    def _compact_one(self, path: str, part_col: str, dedup_cols: list[str]) -> None:
+        tmp = path + "_compacting"
+        (
+            self.spark.read.parquet(path)
+            .dropDuplicates(dedup_cols)
+            .repartition(part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(tmp)
+        )
+        import shutil
+
+        old = path + "_old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+
+    def compact(self) -> None:
+        """Rewrite both stores as one file per partition with duplicates
+        dropped, bounding per-partition file counts (and with them the
+        per-batch planning/open cost) as micro-batches accumulate."""
+        if self._store_exists():
+            self._compact_one(
+                self.sig_store_path, "pbucket",
+                ["modality", "band", "bucket", "image_id"],
+            )
+            self._compact_one(self.store_path, "pid", ["image_id"])
+        self._batches_since_compact = 0
+
+    # ------------------------------------------------------------- querying
 
     def start(self, stream_images: DataFrame, trigger_available_now: bool = True):
         """Attach to a streaming images DataFrame and run until the source

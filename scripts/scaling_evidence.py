@@ -1,0 +1,289 @@
+"""Two-parallelism-level scaling evidence with structure-vs-hardware
+attribution (the sandbox rendering of BASELINE.json's "throughput scaling
+efficiency >= 0.8 between N and 4N executors"; no real cluster exists
+here).
+
+Three measurements, one artifact (BENCH/BASELINE.md):
+
+1. **Headline efficiency**: the identical dedup job on the identical input
+   parquet at N and 4N local cores (min of ``reps`` cold-cache runs each).
+
+2. **Job-structure utilization** (from the Spark event log of each timed
+   run): sum of task executorRunTime / (wall x cores).  If this is ~1.0 at
+   BOTH levels, the DAG keeps every core fed at 4N — any wall-clock
+   shortfall comes from each core computing slower (shared memory bus /
+   host throttling), not from serialization or skew in the job.  The
+   executorCpuTime/executorRunTime ratio at each level shows how much of
+   the busy time was genuine CPU vs memory stall.
+
+3. **Two-process contention probe**: one 4-core JVM solo vs two
+   INDEPENDENT 4-core JVMs running concurrently on the same host.  Two
+   separate processes share no Spark state, no scheduler, no JVM — any
+   mutual slowdown is host hardware.  The per-process slowdown factor IS
+   the shared-box term that a real multi-executor cluster (one memory
+   controller per executor host) does not have.
+
+Usage: python scripts/scaling_evidence.py [--quick]
+  --quick: 200k-image slice, 1 rep (smoke); default: full tiled input,
+  2 reps per level.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+IMG = os.environ.get(
+    "SPARK_GRAFT_SCALING_IMAGES",
+    "/tmp/bench_images_root_testdata_sf0.1_x160.parquet",
+)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
+)
+EVENT_DIR = "/tmp/spark-events-scaling"
+
+
+def run_e2e(cores: int, limit: int | None, event_log: bool) -> tuple[float, int, dict]:
+    """One cold-cache end-to-end dedup run; returns (wall, n, task_metrics)."""
+    from lsh_project_spark.config import PipelineConfig
+    from lsh_project_spark.pipeline import dedup_pipeline
+    from lsh_project_spark.session import get_spark
+
+    extra = {}
+    if event_log:
+        os.makedirs(EVENT_DIR, exist_ok=True)
+        extra = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{EVENT_DIR}",
+            "spark.eventLog.compress": "false",
+        }
+    spark = get_spark(
+        app=f"scale_c{cores}", cores=cores, shuffle_partitions=cores * 8,
+        extra=extra,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    images = spark.read.parquet(IMG)
+    if limit:
+        images = images.limit(limit)
+    cfg = PipelineConfig()
+    dedup_pipeline(images.limit(10000), cfg).assignments.write.mode(
+        "overwrite"
+    ).format("noop").save()
+    spark.catalog.clearCache()
+    n = images.count()
+    t0 = time.time()
+    dedup_pipeline(images, cfg).assignments.write.mode("overwrite").format(
+        "noop"
+    ).save()
+    wall = time.time() - t0
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+    metrics = _parse_event_log(app_id, t0 * 1000) if event_log else {}
+    return wall, n, metrics
+
+
+def _parse_event_log(app_id: str, t0_ms: float) -> dict:
+    """Sum task executorRunTime/CpuTime for tasks finishing after t0 (the
+    timed window; warmup tasks finish earlier)."""
+    paths = glob.glob(os.path.join(EVENT_DIR, f"*{app_id}*"))
+    if not paths:
+        return {}
+    files = (
+        sorted(glob.glob(os.path.join(paths[0], "events_*")))
+        if os.path.isdir(paths[0])  # Spark 4 rolling event-log dir
+        else [paths[0]]
+    )
+    run_ms = 0
+    cpu_ns = 0
+    n_tasks = 0
+    for path in files:
+        with open(path) as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                ev = json.loads(line)
+                info = ev.get("Task Info", {})
+                if info.get("Finish Time", 0) < t0_ms:
+                    continue
+                tm = ev.get("Task Metrics") or {}
+                run_ms += tm.get("Executor Run Time", 0)
+                cpu_ns += tm.get("Executor CPU Time", 0)
+                n_tasks += 1
+    return {"task_run_sec": run_ms / 1e3, "task_cpu_sec": cpu_ns / 1e9,
+            "n_tasks": n_tasks}
+
+
+def run_cc_distributed(cores: int, limit: int | None) -> float:
+    """Time the DISTRIBUTED connected-components loop (large-star/small-star,
+    driver_max_edges=0 — the 100 TB clustering path, bypassing the driver
+    union-find fast path) on this level's verified pairs; edge build is
+    untimed."""
+    from lsh_project_spark.config import PipelineConfig
+    from lsh_project_spark.operators.cluster import connected_components
+    from lsh_project_spark.pipeline import dedup_pipeline
+    from lsh_project_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"cc_c{cores}", cores=cores, shuffle_partitions=cores * 8
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    images = spark.read.parquet(IMG)
+    if limit:
+        images = images.limit(limit)
+    pairs = dedup_pipeline(images, PipelineConfig()).verified_pairs
+    pairs.count()
+    t = time.time()
+    connected_components(pairs, driver_max_edges=0).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    wall = time.time() - t
+    spark.stop()
+    return wall
+
+
+def contention_probe(cores: int, limit: int) -> dict:
+    """Solo vs two-concurrent independent JVMs (subprocesses so nothing is
+    shared).  Returns walls."""
+    script = os.path.join(REPO, "scripts", "scaling_evidence.py")
+    env = {**os.environ, "PYTHONPATH": REPO}
+
+    def one() -> subprocess.Popen:
+        return subprocess.Popen(
+            [sys.executable, script, "--_child", str(cores), str(limit)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            env=env, cwd=REPO,
+        )
+
+    # min-of-2 on both arms: single measurements on this host swing 2-4x
+    # with co-tenant load, and the probe exists to isolate the HARDWARE
+    # term, not to sample the neighbors
+    solos, concs = [], []
+    for _ in range(2):
+        p = one()
+        solos.append(float(p.communicate()[0].strip().splitlines()[-1]))
+    for _ in range(2):
+        a, b = one(), one()
+        wa = float(a.communicate()[0].strip().splitlines()[-1])
+        wb = float(b.communicate()[0].strip().splitlines()[-1])
+        concs.append((wa + wb) / 2)
+    solo, conc = min(solos), min(concs)
+    return {
+        "solo_walls": [round(x, 1) for x in solos],
+        "concurrent_mean_walls": [round(x, 1) for x in concs],
+        "slowdown": round(conc / solo, 3),
+    }
+
+
+def main() -> None:
+    if "--_child" in sys.argv:  # contention-probe worker
+        i = sys.argv.index("--_child")
+        wall, _, _ = run_e2e(int(sys.argv[i + 1]), int(sys.argv[i + 2]), False)
+        print(wall)
+        return
+
+    quick = "--quick" in sys.argv
+    env_limit = os.environ.get("SPARK_GRAFT_SCALING_LIMIT")
+    limit = 200_000 if quick else (int(env_limit) if env_limit else None)
+    reps = 1 if quick else 2
+    lo_c, hi_c = LEVELS
+    ratio = hi_c // lo_c
+
+    levels = []
+    for cores in (lo_c, hi_c):
+        runs, best = [], None
+        for r in range(reps):
+            wall, n, m = run_e2e(cores, limit, event_log=True)
+            runs.append(round(wall, 1))
+            if best is None or wall < best[0]:
+                best = (wall, m)
+            print(f"level {cores}c run {r}: {wall:.1f}s", flush=True)
+        wall, m = best
+        util = m.get("task_run_sec", 0) / (wall * cores) if m else None
+        cpu_frac = (
+            m.get("task_cpu_sec", 0) / m.get("task_run_sec", 1) if m else None
+        )
+        levels.append({
+            "cores": cores, "runs": runs, "wall_sec": round(wall, 1),
+            "images": n, "images_per_sec": round(n / wall, 1),
+            "core_utilization": round(util, 3) if util else None,
+            "cpu_fraction_of_busy": round(cpu_frac, 3) if cpu_frac else None,
+        })
+    eff = levels[1]["images_per_sec"] / (ratio * levels[0]["images_per_sec"])
+
+    for lv in levels:
+        lv["cc_distributed_wall_sec"] = round(
+            run_cc_distributed(lv["cores"], limit), 1
+        )
+    cc_eff = (
+        levels[0]["cc_distributed_wall_sec"] / levels[1]["cc_distributed_wall_sec"]
+    ) / ratio
+
+    probe = contention_probe(4, limit or 200_000)
+    out = {
+        "levels": levels, "efficiency": round(eff, 3),
+        "cc_distributed_efficiency": round(cc_eff, 3), "contention": probe,
+    }
+    print(json.dumps(out), flush=True)
+    _write_report(out, ratio)
+
+
+def _write_report(out: dict, ratio: int) -> None:
+    lo, hi = out["levels"]
+    eff = out["efficiency"]
+    probe = out["contention"]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH — two-parallelism-level scaling evidence
+
+Sandbox rendering of the BASELINE.json criterion "throughput scaling
+efficiency >= 0.8 between N and 4N executors" (no real cluster is
+available here): the identical dedup job on the identical input parquet
+({lo['images']} images derived from /root/testdata/sf0.1/documents), run at
+two local parallelism levels; cold-cache min-of-{len(lo['runs'])} per level,
+codegen warmup on a 10k slice.  Produced by `scripts/scaling_evidence.py`.
+
+| level | cores | runs (sec) | wall | images/sec | core utilization | cpu/busy | distributed-CC sec |
+|---|---|---|---|---|---|---|---|
+| N  | {lo['cores']} | {lo['runs']} | {lo['wall_sec']} | {lo['images_per_sec']} | {lo['core_utilization']} | {lo['cpu_fraction_of_busy']} | {lo['cc_distributed_wall_sec']} |
+| {ratio}N | {hi['cores']} | {hi['runs']} | {hi['wall_sec']} | {hi['images_per_sec']} | {hi['core_utilization']} | {hi['cpu_fraction_of_busy']} | {hi['cc_distributed_wall_sec']} |
+
+**headline efficiency = throughput({ratio}N) / ({ratio} x throughput(N)) = {eff:.3f}**
+
+**distributed-CC efficiency = speedup / {ratio} = {out['cc_distributed_efficiency']}**
+(the CC loop is latency-bound at bench edge counts — O(log^2 n) synchronous
+rounds of small shuffles — so its sandbox number reflects round latency, not
+the per-round throughput that dominates at 100 TB edge volumes; the
+distributed-CC column times the large-star/small-star path with
+driver_max_edges=0, bypassing the driver union-find fast path.)
+
+## Structure vs hardware attribution
+
+- **core utilization** = sum(task executorRunTime) / (wall x cores): the
+  fraction of the timed window every core spent executing tasks.  Near-1.0
+  at BOTH levels means the job's DAG keeps {ratio}N cores as busy as N —
+  no serialization, no skew, no straggler structure.  Wall-clock shortfall
+  with full utilization means each core simply computes slower when more
+  cores share this VM's memory bus — a property of the shared box, not of
+  the job.
+- **two-process contention probe** (shares NOTHING at the Spark level):
+  one 4-core JVM solo = {probe['solo_walls']}s (min used); two independent
+  4-core JVMs concurrently, per-pair mean = {probe['concurrent_mean_walls']}s
+  (x{probe['slowdown']} per-process slowdown; ~1.0 means no resolvable
+  mutual slowdown).  Two separate processes cannot contend on any job
+  structure, so whatever slowdown this probe measures is host hardware —
+  and run-to-run spread beyond it is co-tenant noise on the shared VM
+  (why every reported number is a min over repetitions).  A real
+  4N-executor cluster gives each executor its own memory controller and
+  no co-tenants.
+""")
+
+
+if __name__ == "__main__":
+    main()
