@@ -33,6 +33,9 @@ TILES = int(os.environ.get("SPARK_GRAFT_BENCH_TILES", "10"))
 IMAGES_PATH = (
     f"/tmp/bench_images_{SF_DIR.strip('/').replace('/', '_')}_x{TILES}.parquet"
 )
+# min-of-N repetitions for the second-scale timed loops (host shows 2-4x
+# co-tenant variance; the scaling protocol already does min-of-reps)
+_TIMING_REPS = int(os.environ.get("SPARK_GRAFT_TIMING_REPS", "3"))
 
 BENCH_QUERIES = [
     "minhash_bands",
@@ -110,7 +113,12 @@ def run_dedup(spark) -> tuple[float, int, dict]:
     profile = multimodal_profile(slim, cfg)
     profile.write.mode("overwrite").format("noop").save()
     stages["profile_signatures"] = round(time.time() - t, 2)
+    # materialize the cache BEFORE starting the candidates timer: persist()
+    # is lazy, so without this count() the first action below would re-run
+    # the entire profile computation inside the "candidates" stage (the
+    # round-3 attribution artifact that overstated it ~3x)
     profile = profile.persist()
+    profile.count()
     t = time.time()
     drop_stats: dict = {}
     cands = candidate_pairs(
@@ -186,15 +194,18 @@ def run_ann_recall_bench(spark) -> dict:
     bits = auto_bits(n)
     out = {"ann_bits": bits, "ann_corpus": n}
     for probes, tag in ((1, "1probe"), (4, "4probe")):
-        t0 = time.time()
-        res = ann_topk_lsh(
-            e, qdf, dim=X.shape[1], k=5, num_tables=8, bits=bits, probes=probes
-        ).collect()
-        wall = time.time() - t0
+        # min-of-N: single-run timings on this host swing 2-4x with
+        # co-tenant load (round-3 advice — recall is deterministic, only
+        # the wall needs repetitions)
+        wall = float("inf")
+        for _ in range(_TIMING_REPS):
+            t0 = time.time()
+            res = ann_topk_lsh(
+                e, qdf, dim=X.shape[1], k=5, num_tables=8, bits=bits, probes=probes
+            ).collect()
+            wall = min(wall, time.time() - t0)
         found = {}
-        n_rows = 0
         for r in res:
-            n_rows += 1
             if r["neighbor_id"] == planted[r["query_id"]]:
                 found[r["query_id"]] = True
         out[f"ann_planted_recall_{tag}"] = round(len(found) / n_q, 4)
@@ -221,22 +232,27 @@ def run_reference_nn_bench(spark) -> dict:
     data.count()
     queries = noisy_queries(spark, data, q, d, n).persist()
     queries.count()
-    # join path (scales to any index size): warmup on a slice, timed full run
+    # join path (scales to any index size): warmup on a slice, then
+    # min-of-N timed full runs (single runs swing with co-tenant load)
     cp_nearest_neighbor(data, queries.limit(256), cfg).write.mode(
         "overwrite"
     ).format("noop").save()
-    t0 = time.time()
-    cp_nearest_neighbor(data, queries, cfg).write.mode("overwrite").format(
-        "noop"
-    ).save()
-    wall = time.time() - t0
+    wall = float("inf")
+    for _ in range(_TIMING_REPS):
+        t0 = time.time()
+        cp_nearest_neighbor(data, queries, cfg).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        wall = min(wall, time.time() - t0)
     # broadcast-index path (the reference's in-memory probe, one per core):
     # index build excluded from the timed query loop like the reference's
     bcast = cp_nearest_neighbor_broadcast(data, queries, cfg)
     bcast.limit(64).write.mode("overwrite").format("noop").save()  # warmup
-    t0 = time.time()
-    bcast.write.mode("overwrite").format("noop").save()
-    bwall = time.time() - t0
+    bwall = float("inf")
+    for _ in range(_TIMING_REPS):
+        t0 = time.time()
+        bcast.write.mode("overwrite").format("noop").save()
+        bwall = min(bwall, time.time() - t0)
     data.unpersist()
     queries.unpersist()
     return {
@@ -308,6 +324,15 @@ def main() -> None:
             if line.startswith("{"):
                 result["scaling"] = json.loads(line)
                 break
+        if "scaling" not in result or proc.returncode != 0:
+            # a broken scaling run must be LOUD, not a silently missing key
+            # (round-3 advice): record the failure in the artifact itself
+            detail = "no JSON line" if "scaling" not in result else "partial"
+            result["scaling"] = {
+                **result.get("scaling", {}),
+                "error": f"scaling_evidence.py rc={proc.returncode} ({detail})",
+                "stderr_tail": proc.stderr.strip().splitlines()[-5:],
+            }
 
     print(json.dumps(result))
 

@@ -67,9 +67,10 @@ MIX_B = 625538193
 MIX_C = 656673429
 MIX_A2 = 976686137  # round-2 constant
 
-# strings per numpy batch are sub-chunked so the [rows, padded-width] int64
-# temporaries stay bounded regardless of document length
-_CHUNK_CHAR_BUDGET = 1 << 23  # ~8M codepoints -> <=64 MB int64 temporaries
+# strings per numpy batch are sub-chunked so the [rows, padded-width]
+# temporaries stay bounded regardless of document length; the budget bounds
+# rows * padded-width CELLS (np.array pads every row to the longest string)
+_CHUNK_CHAR_BUDGET = 1 << 23  # ~8M cells -> 32 MB UCS4 + <=64 MB int64 blocks
 # Horner column-block width: per-term products are < 2^21 * 2^31 = 2^52, so
 # up to 1024 terms sum EXACTLY in int64 (< 2^62) with NO per-element modulo —
 # int64 % has no SIMD path and would dominate (measured 25x slower)
@@ -131,34 +132,54 @@ def _mix_np(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     return ((lo * (2 * hi + 1)) % MIX_M + (MIX_A2 * hi) % MIX_M + lo) % MIX_M
 
 
+# appended to every string before the fixed-width array is built: numpy's
+# UCS4 buffer cannot distinguish trailing U+0000 from padding ('a\x00'
+# round-trips as 'a'), so trailing-NUL strings would silently hash as their
+# stripped twin.  A non-NUL final char makes both the buffer and
+# np.char.str_len exact; its known contribution (last char, codepoint 1)
+# is divided back out of each lane: h = (h' - 1) * B^-1 mod M.
+_SENTINEL = "\x01"
+
+
 def portable_hash62_np(strs) -> np.ndarray:
     """Vectorized numpy rendering: sequence of strings -> int64 hash62 array.
 
     np.array(dtype=str) gives a fixed-width UCS4 buffer; viewing it as
     uint32 yields the codepoint matrix with NO per-string Python work.
-    Input is chunked by total character count so peak temporary memory is
-    bounded regardless of document length."""
+    Two guards keep this exact and bounded:
+
+    - a sentinel char is appended per string (see ``_SENTINEL``) so trailing
+      U+0000 survives the fixed-width buffer; each lane divides the
+      sentinel's contribution back out, which is exact modular arithmetic;
+    - chunks close when rows * padded-width would exceed the budget (the
+      matrix is padded to the LONGEST row, so bounding the summed character
+      count alone would let one multi-megabyte outlier among millions of
+      short shingles blow the [rows, width] allocation).
+    """
     strs = list(strs)
     out = np.empty(len(strs), dtype=np.int64)
+    inv1 = pow(POLY_B, -1, POLY_M1)
+    inv2 = pow(POLY_B, -1, POLY_M2)
     pos = 0
     while pos < len(strs):
-        end, budget = pos, _CHUNK_CHAR_BUDGET
-        while end < len(strs) and budget > 0:
-            budget -= max(len(strs[end]), 1)
+        end, max_w = pos, 1
+        while end < len(strs):
+            w = max(len(strs[end]) + 1, max_w)  # +1 = the sentinel column
+            if end > pos and (end - pos + 1) * w > _CHUNK_CHAR_BUDGET:
+                break
+            max_w = w
             end += 1
-        chunk = strs[pos:end]
-        arr = np.array(chunk, dtype=str)
+        arr = np.array([s + _SENTINEL for s in strs[pos:end]], dtype=str)
         width = arr.itemsize // 4
-        if width == 0:
-            out[pos:end] = _mix_py(0, 0)
-        else:
-            # zero-copy reinterpret of the UCS4 buffer; uint32 * int64
-            # weights upcast to int64 in the lane multiply (no astype pass)
-            cp = arr.view(np.uint32).reshape(len(chunk), width)
-            lens = np.char.str_len(arr).astype(np.int64)
-            h1 = _lane_hash(cp, lens, POLY_M1)
-            h2 = _lane_hash(cp, lens, POLY_M2)
-            out[pos:end] = _mix_np(h1, h2)
+        # zero-copy reinterpret of the UCS4 buffer; uint32 * int64
+        # weights upcast to int64 in the lane multiply (no astype pass)
+        cp = arr.view(np.uint32).reshape(end - pos, width)
+        lens = np.char.str_len(arr).astype(np.int64)
+        # strip the sentinel: (h' - 1) in [-1, M-1], * inv < 2^31 stays
+        # within int64; numpy % with a positive modulus is non-negative
+        h1 = ((_lane_hash(cp, lens, POLY_M1) - 1) * inv1) % POLY_M1
+        h2 = ((_lane_hash(cp, lens, POLY_M2) - 1) * inv2) % POLY_M2
+        out[pos:end] = _mix_np(h1, h2)
         pos = end
     return out
 

@@ -65,40 +65,53 @@ def _small_star(edges: DataFrame) -> DataFrame:
 DRIVER_CC_MAX_EDGES = 5_000_000
 
 
+def numpy_components(ea: "np.ndarray", eb: "np.ndarray", n: int):
+    """Vectorized min-label propagation with pointer jumping (the in-memory
+    twin of Shiloach-Vishkin): labels[i] starts as i; each round pushes the
+    min label across every edge at once (ufunc ``minimum.at``) then fully
+    compresses by repeated composition ``labels[labels]``.  Min labels
+    double their reach per round -> O(log n) rounds, each O(m) vectorized —
+    replacing the round-3 per-edge Python loop (tens of seconds at the
+    5M-edge ceiling) with ~100x-faster array passes.  At the fixpoint every
+    node's label is its component's minimum index."""
+    import numpy as np
+
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        mn = np.minimum(labels[ea], labels[eb])
+        new = labels.copy()
+        np.minimum.at(new, ea, mn)
+        np.minimum.at(new, eb, mn)
+        while True:
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, labels):
+            return labels
+        labels = new
+
+
 def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """One collect + vectorized numpy component labeling (see
+    numpy_components)."""
     import numpy as np
     import pandas as pd
 
     pdf = edges.select("a", "b").toPandas()
+    id_type = dict(edges.dtypes)["a"]
+    if len(pdf) == 0:
+        return edges.sparkSession.createDataFrame(
+            [], schema=f"id {id_type}, cluster_id {id_type}"
+        )
     uniq, inv = np.unique(
         pd.concat([pdf["a"], pdf["b"]]).to_numpy(), return_inverse=True
     )
-    parent = list(range(len(uniq)))
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    ea, eb = inv[: len(pdf)], inv[len(pdf) :]
-    for i in range(len(pdf)):
-        ra, rb = find(int(ea[i])), find(int(eb[i]))
-        if ra != rb:
-            parent[ra] = rb
-    roots = [find(i) for i in range(len(uniq))]
-    # cluster_id = min node id per component (the star-forest fixpoint label)
-    comp_min: dict[int, object] = {}
-    for i, r in enumerate(roots):
-        v = uniq[i]
-        if r not in comp_min or v < comp_min[r]:
-            comp_min[r] = v
-    out = pd.DataFrame(
-        {"id": uniq, "cluster_id": [comp_min[r] for r in roots]}
-    )
-    id_type = dict(edges.dtypes)["a"]
+    m = len(pdf)
+    labels = numpy_components(inv[:m], inv[m:], len(uniq))
+    # cluster_id = min node id per component: uniq is sorted ascending, so
+    # the fixpoint label (min component index) indexes the min member
+    out = pd.DataFrame({"id": uniq, "cluster_id": uniq[labels]})
     return edges.sparkSession.createDataFrame(
         out, schema=f"id {id_type}, cluster_id {id_type}"
     )

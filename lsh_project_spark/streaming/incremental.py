@@ -68,6 +68,32 @@ class IncrementalDedup:
         self.sig_store_path = os.path.join(state_dir, "sig_store")
         self.pairs_path = os.path.join(state_dir, "verified_pairs")
         os.makedirs(state_dir, exist_ok=True)
+        for p in (self.sig_store_path, self.store_path):
+            self._recover_compaction(p)
+
+    @staticmethod
+    def _recover_compaction(path: str) -> None:
+        """Make the compaction swap crash-safe: _compact_one renames
+        path -> path_old then path_compacting -> path, so a crash between
+        the renames leaves the store ABSENT — without recovery the stream
+        would restart from empty state (silently wrong dedup results).
+        On init: promote a COMPLETE compacted dir (_SUCCESS present) if the
+        store is missing, else restore the _old copy; then clear leftovers.
+        (os.rename semantics = local/POSIX filesystem; on an object store
+        this layer would flip a manifest pointer instead — the pattern the
+        snapshot table layer (table.py) implements.)"""
+        import shutil
+
+        tmp, old = path + "_compacting", path + "_old"
+        if not os.path.exists(path):
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, path)
+            elif os.path.exists(old):
+                os.rename(old, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
 
     def _store_exists(self) -> bool:
         return os.path.exists(os.path.join(self.store_path, "_SUCCESS"))
@@ -103,25 +129,25 @@ class IncrementalDedup:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: profile the new rows, pair them against the
         store AND against each other, verify, append state."""
+        from ..operators.candidates import candidate_pairs
+
         cfg = self.cfg
         new_profile = multimodal_profile(
             batch_df.select("image_id", "caption", "phash"), cfg
         ).persist()
-        if new_profile.count() == 0:
+        if new_profile.isEmpty():
             new_profile.unpersist()
             return
         new_sigs = self._with_pbucket(profile_signatures(new_profile, cfg)).persist()
 
-        intra = (
-            new_sigs.select("modality", "band", "bucket", F.col("image_id").alias("a"))
-            .join(
-                new_sigs.select(
-                    "modality", "band", "bucket", F.col("image_id").alias("b")
-                ),
-                ["modality", "band", "bucket"],
-            )
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
+        # intra-batch candidates go through the SAME salted/star-defended
+        # path as the batch pipeline, so a degenerate bucket inside one
+        # micro-batch is bounded exactly like anywhere else (round-3 fix:
+        # this was the one candidate generator bypassing the defense)
+        intra = candidate_pairs(
+            new_sigs,
+            bucket_cols=("modality", "band", "bucket"),
+            hot_bucket_threshold=cfg.hot_bucket_threshold,
         )
 
         if self._store_exists():
