@@ -139,8 +139,24 @@ def checkpointed_dedup(
         ["profile", "candidates"],
         lambda: verify_pairs_from_profile(cands, profile, cfg),
     )
+    asg_parents = ["profile", "verified_pairs"]
+    if cfg.substring_enabled:
+        from .operators.substring import substring_pairs
+
+        sub = cp.stage(
+            "substring_pairs",
+            [],
+            lambda: substring_pairs(
+                images.select("image_id", F.col("caption").alias("text")),
+                cfg.substring,
+                id_col="image_id",
+                text_col="text",
+            ).select("a", "b"),
+        )
+        pairs = pairs.unionByName(sub).dropDuplicates(["a", "b"])
+        asg_parents.append("substring_pairs")
     return cp.stage(
         "assignments",
-        ["profile", "verified_pairs"],
+        asg_parents,
         lambda: assign_clusters(profile, pairs, id_col="image_id"),
     )

@@ -115,6 +115,11 @@ class PipelineConfig:
     # exact-verify thresholds
     phash_hamming_threshold: int = 10
     jaccard_threshold: float = 0.5
+    # OR-union the suffix-array substring modality (operators/substring.py)
+    # into the verified-pair set before clustering (SURVEY.md §7 M2: the
+    # engine's output is the OR of all modalities).  Streaming covers the
+    # three signature modalities only; disable for streamed==batch parity.
+    substring_enabled: bool = True
     # skew control: buckets larger than this contribute star pairs instead
     # of all O(b^2) pairs (see operators/candidates.py).  True duplicate
     # groups are overwhelmingly smaller; a bigger bucket is hash degeneracy

@@ -14,9 +14,11 @@ characters, at scale, in three stages:
    every other modality; hot-fingerprint star defense applies).
 3. **Exact verify**: per candidate pair, the exact longest-common-substring
    length via vectorized diagonal-run scanning over shared g-gram positions
-   (lcs_len_via_diagonal_runs) — batched in a pandas UDF; the generalized
-   *suffix array* + LCP (functions/suffix.py) remains the fallback for
-   low-entropy documents with quadratic match sets.
+   (lcs_len_via_diagonal_runs), cogrouped on a G x G grid of cells so each
+   document's text ships at most 2G-1 times regardless of partner count and
+   its g-gram hash array is computed once per cell, not once per pair; the
+   generalized *suffix array* + LCP (functions/suffix.py) remains the
+   fallback for low-entropy documents with quadratic match sets.
 
 Cross-partition correctness is free: fingerprints are global values, the
 equi-join sees all documents regardless of partitioning.
@@ -86,9 +88,14 @@ def _kgram_hashes(text: str, k: int) -> np.ndarray:
 _DIAG_MATCH_CAP = 4_000_000
 
 
-def lcs_len_via_diagonal_runs(ta: str, tb: str, g: int) -> int:
+def lcs_len_via_diagonal_runs(
+    ta: str, tb: str, g: int,
+    ha: np.ndarray | None = None, hb: np.ndarray | None = None,
+) -> int:
     """Exact longest-common-substring length, given it is >= g; returns 0
-    when the two docs share no g-gram (i.e. LCS < g).
+    when the two docs share no g-gram (i.e. LCS < g).  Pass precomputed
+    g-gram hash arrays ``ha``/``hb`` to amortize them across the many pairs
+    one document participates in (the grid verify does).
 
     Method (the numpy port of the DuckDB oracle's formulation,
     plans/entry_queries.py substring_pairs): a common substring of length
@@ -108,7 +115,10 @@ def lcs_len_via_diagonal_runs(ta: str, tb: str, g: int) -> int:
     false positive needs a 2^-62 collision — the same negligible-risk
     argument as the hash-based Jaccard verify (operators/profile.py).
     """
-    ha, hb = _kgram_hashes(ta, g), _kgram_hashes(tb, g)
+    if ha is None:
+        ha = _kgram_hashes(ta, g)
+    if hb is None:
+        hb = _kgram_hashes(tb, g)
     if len(ha) == 0 or len(hb) == 0:
         return 0
     sb = np.argsort(hb, kind="stable")
@@ -164,37 +174,83 @@ def winnowed_fingerprints(
 
 def substring_pairs(
     docs: DataFrame, cfg: SubstringConfig, id_col: str = "doc_id",
-    text_col: str = "text", hot_threshold: int = 64,
+    text_col: str = "text", hot_threshold: int = 64, grid: int = 8,
 ) -> DataFrame:
     """(id, text) -> (a, b, lcs_len) pairs with an exact common substring of
-    >= cfg.min_length chars."""
+    >= cfg.min_length chars.
+
+    Verify runs on a **grid of cells** (the classic blocked theta-join
+    layout, Okcan & Riedewald '11): pair (a, b) lands in cell
+    (hash(a) mod G, hash(b) mod G), and each document's text ships to at
+    most 2G-1 cells — INDEPENDENT of how many duplicate partners it has.
+    The round-3 design joined both full texts onto every candidate pair,
+    so a doc with d partners shipped d times; here the shuffle carries each
+    needed (cell, doc) once, and the cogrouped verify computes the doc's
+    g-gram hash array once per cell instead of once per pair.  Per-cell
+    memory is (docs touching the cell) x doc size — pick ``grid`` so cells
+    fit an executor (G^2 cells; doubling G halves per-cell payload at the
+    cost of one extra text copy per doc).
+    """
     fps = winnowed_fingerprints(docs, cfg, id_col, text_col)
     cands = candidate_pairs(
         fps, id_col=id_col, bucket_cols=("fp",), hot_bucket_threshold=hot_threshold
     )
-    side = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    joined = (
-        cands.join(
-            side.withColumnRenamed("_id", "a").withColumnRenamed("_t", "ta"), "a"
-        ).join(
-            side.withColumnRenamed("_id", "b").withColumnRenamed("_t", "tb"), "b"
-        )
+    G = grid
+    cells = cands.select(
+        "a",
+        "b",
+        (F.pmod(F.xxhash64("a"), F.lit(G)) * G + F.pmod(F.xxhash64("b"), F.lit(G))).alias("cell"),
     )
+    # the pair set feeds BOTH cogroup sides (pairs + the doc-need list);
+    # checkpoint it so the winnow + salted-candidate subtree runs once,
+    # not once per branch.  (a, b, cell) rows are compact — far smaller
+    # than the signature table that produced them.
+    spark = docs.sparkSession
+    reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    cells = cells.checkpoint(eager=False) if reliable else cells.localCheckpoint(
+        eager=False
+    )
+    # the docs side's key is RENAMED (dcell) so the cogroup of two plans
+    # sharing the `cells` subtree doesn't trip Spark's ambiguous-self-join
+    # analysis; cogroup matches grouping keys positionally
+    need = (
+        cells.select("cell", F.explode(F.array("a", "b")).alias(id_col))
+        .distinct()
+    )
+    cell_docs = need.join(
+        docs.select(id_col, F.col(text_col).alias("_t")), id_col
+    ).select(F.col("cell").alias("dcell"), id_col, "_t")
     min_len = cfg.min_length
     a_type = dict(docs.dtypes)[id_col]
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            lens = [
-                lcs_len_via_diagonal_runs(ta, tb, min_len)
-                for ta, tb in zip(pdf["ta"], pdf["tb"])
-            ]
-            out = pdf[["a", "b"]].copy()
-            out["lcs_len"] = np.array(lens, dtype=np.int64)
-            yield out[out["lcs_len"] >= min_len]
+    def verify(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pairs_pdf):
+            return pd.DataFrame({"a": [], "b": [], "lcs_len": []})
+        texts = dict(zip(docs_pdf[id_col], docs_pdf["_t"]))
+        grams: dict = {}
 
-    return joined.mapInPandas(
-        verify, schema=f"a {a_type}, b {a_type}, lcs_len long"
+        def g_of(i):
+            h = grams.get(i)
+            if h is None:
+                h = grams[i] = _kgram_hashes(texts[i], min_len)
+            return h
+
+        lens = np.fromiter(
+            (
+                lcs_len_via_diagonal_runs(
+                    texts[a], texts[b], min_len, g_of(a), g_of(b)
+                )
+                for a, b in zip(pairs_pdf["a"], pairs_pdf["b"])
+            ),
+            dtype=np.int64,
+            count=len(pairs_pdf),
+        )
+        out = pairs_pdf[["a", "b"]].copy()
+        out["lcs_len"] = lens
+        return out[out["lcs_len"] >= min_len]
+
+    return (
+        cells.groupby("cell")
+        .cogroup(cell_docs.groupby("dcell"))
+        .applyInPandas(verify, schema=f"a {a_type}, b {a_type}, lcs_len long")
     )

@@ -7,7 +7,8 @@ images(image_id, bytes, w, h, fmt, caption, phash)
   -> SimHash band table over captions (Charikar '02, JVM-only)
   -> candidate pairs per modality (bucket self-join, hot-bucket star defense)
   -> exact verify per modality (phash Hamming / shingle Jaccard)
-  -> OR-union of verified pairs
+  -> substring modality (winnow -> fp equi-join -> exact LCS verify)
+  -> OR-union of verified pairs across ALL modalities
   -> large-star/small-star connected components
   -> (image_id, cluster_id)
 
@@ -135,12 +136,26 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
         bucket_cols=("modality", "band", "bucket"),
         hot_bucket_threshold=cfg.hot_bucket_threshold,
     )
+    pairs = verify_pairs_from_profile(cands, profile, cfg)
+    if cfg.substring_enabled:
+        # OR-union the substring modality (winnow -> fp join -> exact LCS
+        # verify) into the edge set before clustering: the engine's output
+        # is the OR of ALL duplicate modalities (SURVEY.md §7 M2) — a pair
+        # sharing a >= min_length caption substring is a duplicate even
+        # when its phash Hamming and shingle Jaccard both miss
+        from .operators.substring import substring_pairs
+
+        sub = substring_pairs(
+            slim.select("image_id", F.col("caption").alias("text")),
+            cfg.substring,
+            id_col="image_id",
+            text_col="text",
+        ).select("a", "b")
+        pairs = pairs.unionByName(sub).dropDuplicates(["a", "b"])
     # verified pairs feed clustering 2-3 times (fast-path count + collect,
     # or the distributed loop's seed checkpoint) — persist so the verify
     # join chain runs once
-    pairs = verify_pairs_from_profile(cands, profile, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     assignments = assign_clusters(profile, pairs, id_col="image_id")
     return PipelineResult(assignments=assignments, verified_pairs=pairs)
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..config import MinHashConfig, SimHashConfig
+from ..config import MinHashConfig, SimHashConfig, SubstringConfig
 from ..functions.hashing import spark_hash62, duckdb_hash62
 from ..operators.signatures import (
     SIMHASH_BITS,
@@ -30,6 +30,7 @@ from .sql_oracle import (
 
 MH_CFG = MinHashConfig()
 SH_CFG = SimHashConfig()
+_SUB_CFG = SubstringConfig()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,11 +343,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline (multimodal signatures -> candidates -> exact
-    verify -> connected components) on the SQL-portable images table ->
-    cluster-size histogram.  The DuckDB oracle reconstructs the identical
-    images table, re-derives MinHash/SimHash band collisions bit-exactly,
-    adds the exhaustive Hamming<=tau pair set (a superset of what CP-LSH
-    can find), verifies with the same criterion, and resolves components
+    verify -> OR-union with the substring modality -> connected components)
+    on the SQL-portable images table -> cluster-size histogram.  The DuckDB
+    oracle reconstructs the identical images table, re-derives
+    MinHash/SimHash band collisions bit-exactly, adds the exhaustive
+    Hamming<=tau pair set (a superset of what CP-LSH can find) and the
+    exhaustive shared-50-gram pair set (exactly the winnow->LCS-verify
+    accept set), verifies with the same criterion, and resolves components
     with a recursive CTE — so the whole iterative pipeline is gated
     hash-exactly, not rows-only.
 
@@ -577,7 +580,9 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 4) AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
-        "dedup_cluster_sizes": duckdb_dedup_clusters_sql(MH_CFG),
+        "dedup_cluster_sizes": duckdb_dedup_clusters_sql(
+            MH_CFG, substring_min_len=_SUB_CFG.min_length
+        ),
         # the oracle PREDICTS post-resize decoded dims from the generation
         # rule (size = 32 + doc_id%5*16, halved); the Spark side must
         # round-trip real bytes through encode -> resize -> decode

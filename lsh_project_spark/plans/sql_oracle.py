@@ -72,16 +72,35 @@ def duckdb_dedup_clusters_sql(
     sim_cfg=None,
     hamming_tau: int = 6,
     jaccard_tau: float = 0.5,
+    substring_min_len: int | None = 50,
 ) -> str:
     """DuckDB twin of the FULL dedup pipeline on the portable images table
     (sources/fixtures.images_portable): rebuild the identical table, derive
     MinHash + SimHash band collisions bit-exactly, add the exhaustive
     Hamming<=tau pair set (superset of CP-LSH candidates), verify with the
-    engine's criterion, resolve connected components with a recursive CTE,
-    and emit the cluster-size histogram."""
+    engine's criterion, OR-union the exhaustive substring-duplicate pair
+    set (two docs sharing any ``substring_min_len``-char gram — exactly the
+    winnow->verify modality's accept set), resolve connected components
+    with a recursive CTE, and emit the cluster-size histogram."""
     from ..config import SimHashConfig
 
     sim_cfg = sim_cfg or SimHashConfig()
+    g = substring_min_len
+    sub_union = "" if g is None else f"""
+  UNION
+  SELECT a, b FROM sub_edges"""
+    sub_ctes = "" if g is None else f"""
+sub_grams AS (
+  SELECT doc_id, substring(text, CAST(i AS INT), {g}) AS sg
+  FROM imgs, LATERAL (
+    SELECT unnest(range(1, length(text) - {g} + 2)) AS i
+  ) p
+  WHERE length(text) >= {g}
+),
+sub_edges AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM sub_grams x JOIN sub_grams y ON x.sg = y.sg AND x.doc_id < y.doc_id
+),"""
     mask = 1 | (1 << 33)
     bpb, bph = sim_cfg.bits_per_band, sim_cfg.bands_per_hash
     band_mask = (1 << bpb) - 1
@@ -136,7 +155,7 @@ shs AS (
 ),
 feat AS (
   SELECT i.doc_id, i.phash, s.s FROM imgs i JOIN shs s USING (doc_id)
-),
+),{sub_ctes}
 edges AS (
   SELECT c.a, c.b
   FROM cand c
@@ -145,7 +164,7 @@ edges AS (
   WHERE bit_count(xor(fa.phash, fb.phash)) <= {hamming_tau}
      OR CAST(len(list_intersect(fa.s, fb.s)) AS DOUBLE)
         / (len(fa.s) + len(fb.s) - len(list_intersect(fa.s, fb.s)))
-        >= {jaccard_tau}
+        >= {jaccard_tau}{sub_union}
 ),
 sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
 walk(id, comp) AS (

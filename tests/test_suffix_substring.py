@@ -151,3 +151,40 @@ def test_diagonal_run_lcs_low_entropy_fallback():
         assert S.lcs_len_via_diagonal_runs(a, b, 50) == longest_common_substring_len(a, b)
     finally:
         S._DIAG_MATCH_CAP = old_cap
+
+
+def test_substring_only_duplicate_clusters_together(spark):
+    """A pair whose ONLY duplicate signal is a shared >=50-char caption
+    substring (phash far apart, shingle Jaccard < 0.5) lands in one cluster
+    exactly when the substring modality is OR-unioned into the pipeline
+    (PipelineConfig.substring_enabled; round-4 integration)."""
+    from lsh_project_spark.config import PipelineConfig
+    from lsh_project_spark.pipeline import dedup_pipeline
+
+    shared = "an exactly matching span of well over fifty characters kept verbatim"
+    assert len(shared) >= 50
+    capa = " ".join(f"aw{i}" for i in range(40)) + " " + shared
+    capb = " ".join(f"bw{i}" for i in range(40)) + " " + shared
+    rows = [
+        ("x1", capa, 0),
+        ("x2", capb, (1 << 62) - 1),  # Hamming(phash) = 62 >> tau
+        ("x3", "totally unrelated caption with its own words", 12345),
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, caption string, phash long"
+    )
+
+    asg_on = {
+        r["image_id"]: r["cluster_id"]
+        for r in dedup_pipeline(images, PipelineConfig()).assignments.collect()
+    }
+    assert asg_on["x1"] == asg_on["x2"]
+    assert asg_on["x3"] != asg_on["x1"]
+
+    asg_off = {
+        r["image_id"]: r["cluster_id"]
+        for r in dedup_pipeline(
+            images, PipelineConfig(substring_enabled=False)
+        ).assignments.collect()
+    }
+    assert asg_off["x1"] != asg_off["x2"]
