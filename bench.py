@@ -133,6 +133,16 @@ def run_dedup(spark) -> tuple[float, int, dict]:
     verified = verify_pairs_from_profile(cands, profile, cfg).persist()
     n_verified = verified.count()
     stages["verify"] = round(time.time() - t, 2)
+    if cfg.substring_enabled:
+        from lsh_project_spark.operators.substring import substring_pairs
+        import pyspark.sql.functions as F
+
+        t = time.time()
+        substring_pairs(
+            slim.select("image_id", F.col("caption").alias("text")),
+            cfg.substring, id_col="image_id", text_col="text",
+        ).write.mode("overwrite").format("noop").save()
+        stages["substring_modality"] = round(time.time() - t, 2)
 
     # P1-P4 instrumentation: the reference's analytic flop/occupancy model
     # (/root/reference/src/main.cc:409-450) next to this run's measured

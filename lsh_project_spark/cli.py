@@ -23,6 +23,15 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True, help="assignments parquet path")
     p.add_argument("--checkpoint-root", default=None, help="enable resumable stages")
     p.add_argument("--metrics", default=None, help="write metrics JSON here")
+    p.add_argument(
+        "--no-substring", action="store_true",
+        help="skip the suffix-array substring modality (signature LSH only)",
+    )
+    p.add_argument(
+        "--snapshot-root", default=None,
+        help="commit assignments as a new snapshot of this versioned table "
+        "(time-travelable; see table.SnapshotTable) instead of --output",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -38,17 +47,22 @@ def main(argv=None) -> int:
     from .config import PipelineConfig
     from .pipeline import dedup_pipeline
 
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(substring_enabled=not args.no_substring)
     images = spark.read.parquet(args.input)
 
     if args.checkpoint_root:
         from .checkpoint import checkpointed_dedup
 
         assignments = checkpointed_dedup(spark, images, args.checkpoint_root, cfg)
-        assignments.write.mode("overwrite").parquet(args.output)
     else:
-        res = dedup_pipeline(images, cfg)
-        res.assignments.write.mode("overwrite").parquet(args.output)
+        assignments = dedup_pipeline(images, cfg).assignments
+    if args.snapshot_root:
+        from .table import SnapshotTable
+
+        SnapshotTable(spark, args.snapshot_root).commit(
+            assignments, note=f"cli input={args.input}"
+        )
+    assignments.write.mode("overwrite").parquet(args.output)
 
     if args.metrics:
         from .metrics import cluster_stats

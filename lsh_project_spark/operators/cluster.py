@@ -21,37 +21,38 @@ may be strings or longs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+
+
+# Each star phase is ONE window shuffle (partitionBy the star center: the
+# per-group min and the per-row emit come out of the same sort), not the
+# groupBy-min + join-back + dedup chain of rounds 1-3 — per-round shuffle
+# count drops from ~6 to 3, which is most of the round's wall at 10M+ edge
+# scale.  Duplicate rows are allowed to flow within a round (they change no
+# min) and are dropped ONCE at the end of _small_star.
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.select("a", "b").unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
-    mins = mins.select("a", F.least("a", "mn").alias("m"))
+    w = Window.partitionBy("a")
     return (
-        sym.join(mins, "a")
+        sym.withColumn("m", F.least(F.min("b").over(w), F.col("a")))
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .dropDuplicates(["a", "b"])
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    directed = (
-        edges.select(
-            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-    )
-    mins = directed.groupBy("a").agg(F.min("b").alias("mn"))
-    mins = mins.select("a", F.least("a", "mn").alias("m"))
+    directed = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    w = Window.partitionBy("a")
+    d2 = directed.withColumn("m", F.min("b").over(w))  # min(N-(u)) <= every b < u
     return (
-        directed.join(mins, "a")
-        .select(F.col("b").alias("v"), "m")
-        .unionByName(mins.select(F.col("a").alias("v"), "m"))
+        d2.select(F.col("b").alias("v"), "m")
+        .unionByName(d2.select(F.col("a").alias("v"), "m"))
         .filter(F.col("v") != F.col("m"))
         .select(F.col("v").alias("a"), F.col("m").alias("b"))
         .dropDuplicates(["a", "b"])
@@ -125,16 +126,82 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _contract_local(edges: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Partition-local edge contraction (mapPartitions union-find): one
+    repartition by ``a`` collocates each node's out-edges, a vectorized
+    in-memory union-find (numpy_components) collapses every partition-local
+    component to its min node, and the output carries BOTH facts the global
+    phase needs, tagged by ``kind``:
+
+      kind 0: (node, local_root)   — the per-partition mapping
+      kind 1: (root_a, root_b)     — contracted edges (distinct, a < b)
+
+    Candidate-pair edge lists are stars + small cliques around hub nodes
+    (operators/candidates.py), so collocating by ``a`` contracts most of a
+    cluster's edges in this single pass — the following large-star/
+    small-star loop then iterates on a graph ~an order of magnitude
+    smaller, making the distributed CC shuffle-bound rather than
+    round-latency-bound (the round-3 scaling residual)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(edges.dtypes)["a"]
+
+    def run(batches):
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if not len(pdf):
+            return
+        arr = pd.concat([pdf["a"], pdf["b"]]).to_numpy()
+        uniq, inv = np.unique(arr, return_inverse=True)
+        m = len(pdf)
+        labels = numpy_components(inv[:m], inv[m:], len(uniq))
+        roots = uniq[labels]
+        ra, rb = roots[inv[:m]], roots[inv[m:]]
+        cross = ra != rb
+        ca, cb = ra[cross], rb[cross]
+        lo, hi = np.minimum(ca, cb), np.maximum(ca, cb)
+        ce = pd.DataFrame({"x": lo, "y": hi}).drop_duplicates()
+        yield pd.concat(
+            [
+                pd.DataFrame(
+                    {"kind": np.int32(0), "x": uniq, "y": roots}
+                ),
+                pd.DataFrame(
+                    {"kind": np.int32(1), "x": ce["x"], "y": ce["y"]}
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    # partition count is a property of the DATA (per-task union-find memory
+    # ~ edges/partitions), not of the core count — a constant default keeps
+    # the total work identical across cluster sizes (scaling-evidence
+    # hygiene) and a real deployment passes a count sized to its edge
+    # volume.  Never below the cluster's parallelism.
+    spark = edges.sparkSession
+    n_part = partitions or max(64, spark.sparkContext.defaultParallelism * 2)
+    part = edges.repartition(n_part, "a")
+    return part.mapInPandas(
+        run, schema=f"kind int, x {id_type}, y {id_type}"
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 50,
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+    contract: bool = True,
 ) -> DataFrame:
     """(a, b) undirected edge list -> (id, cluster_id) for every non-isolated
     node.  Union the full node set downstream if singletons matter.
 
     Graphs at or below ``driver_max_edges`` resolve with an in-memory
     union-find on the driver (one collect, milliseconds); larger graphs run
-    the distributed large-star/small-star loop.  Pass 0 to force the
+    a partition-local edge-contraction pre-pass (``contract=True``,
+    _contract_local) followed by the distributed large-star/small-star
+    loop on the contracted graph.  Pass driver_max_edges=0 to force the
     distributed path."""
     # constraint propagation off while planning the iteration: edge lists
     # built from multi-branch unions over a shared subtree (candidate_pairs)
@@ -146,13 +213,16 @@ def connected_components(
     prev = spark.conf.get(conf_key, "true")
     spark.conf.set(conf_key, "false")
     try:
-        return _connected_components_impl(edges, max_iter, driver_max_edges)
+        return _connected_components_impl(
+            edges, max_iter, driver_max_edges, contract
+        )
     finally:
         spark.conf.set(conf_key, prev)
 
 
 def _connected_components_impl(
-    edges: DataFrame, max_iter: int, driver_max_edges: int
+    edges: DataFrame, max_iter: int, driver_max_edges: int,
+    contract: bool = True,
 ) -> DataFrame:
     # Lineage cut per round (Catalyst cannot express iteration):
     # - with a checkpoint dir set (sc.setCheckpointDir), use RELIABLE
@@ -169,14 +239,44 @@ def _connected_components_impl(
             eager=False
         )
 
-    cur = _cut(
-        edges.select("a", "b")
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-    )
-    prev_sum = _edge_checksum(cur)
-    if prev_sum[0] <= driver_max_edges:
-        return _driver_union_find(cur)
+    raw = edges.select("a", "b").filter(F.col("a") != F.col("b"))
+    if driver_max_edges > 0:
+        # raw (pre-dedup) count: scan-only, no shuffle; conservative for
+        # the fast-path decision, and _driver_union_find's np.unique
+        # handles duplicate edges natively
+        if raw.count() <= driver_max_edges:
+            return _driver_union_find(raw)
+
+    mapping = None
+    if contract:
+        # partition-local contraction consumes the RAW edge list — its
+        # in-partition union-find absorbs duplicate edges for free, so the
+        # full-width dedup shuffle + checksum pass over the original edges
+        # is skipped entirely (one less pass over the biggest dataset)
+        combined = _cut(_contract_local(raw))
+        mapping = combined.filter("kind = 0").select(
+            F.col("x").alias("id"), F.col("y").alias("root")
+        )
+        # a node seen in several partitions has several local roots; bridge
+        # them (root star per node) so the contracted graph preserves
+        # cross-partition connectivity
+        w = Window.partitionBy("id")
+        bridge = (
+            mapping.select("root", F.min("root").over(w).alias("mr"))
+            .filter(F.col("root") != F.col("mr"))
+            .select(F.col("mr").alias("a"), F.col("root").alias("b"))
+        )
+        cur = _cut(
+            combined.filter("kind = 1")
+            .select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(bridge)
+            .dropDuplicates(["a", "b"])
+        )
+        prev_sum = _edge_checksum(cur)
+    else:
+        cur = _cut(raw.dropDuplicates(["a", "b"]))
+        prev_sum = _edge_checksum(cur)
+
     for _ in range(max_iter):
         cur = _cut(_small_star(_large_star(cur)))
         cur_sum = _edge_checksum(cur)
@@ -189,6 +289,20 @@ def _connected_components_impl(
         "cluster_id", F.col("id")
     )
     result = children.unionByName(roots).dropDuplicates(["id"])
+    if mapping is not None:
+        # labels were computed on local ROOTS; expand back through the
+        # mapping (a root absent from the contracted graph heads a fully
+        # partition-local component -> it is its own cluster id, and the
+        # component minimum is always a local root, so min-label semantics
+        # are preserved end to end)
+        rootlab = result.select(F.col("id").alias("root"), "cluster_id")
+        result = (
+            mapping.join(rootlab, "root", "left")
+            .select(
+                "id", F.coalesce("cluster_id", "root").alias("cluster_id")
+            )
+            .dropDuplicates(["id"])
+        )
     # materialize (eager checkpoint) while the caller's constraint-propagation
     # guard is still in force: the union over the shared checkpointed subtree
     # must be OPTIMIZED with the conf off, not merely planned — otherwise the

@@ -68,7 +68,7 @@ def cp_signature_table(
 
 def cp_multiprobe_signature_table(
     features: DataFrame, cfg: CrossPolytopeConfig, probes: int,
-    id_col: str = "image_id",
+    id_col: str = "image_id", rot: np.ndarray | None = None,
 ) -> DataFrame:
     """Query-side multi-probe CP-LSH: (id, features) -> (id, table_idx,
     bucket) with up to ``probes`` buckets per (row, table) — the base bucket
@@ -79,8 +79,14 @@ def cp_multiprobe_signature_table(
     Probing multiplies per-table recall without growing the signature table:
     at equal recall an index needs fewer tables, i.e. fewer shuffled rows —
     the scale lever at 100 TB.
+
+    ``rot`` overrides the folded rotation tensor [L, k, d, d] — the driver
+    gate injects literal +-1 Hadamard*Rademacher matrices there so the
+    float32 matmul is integer-exact and the probe sequence reproduces
+    bit-for-bit in DuckDB SQL (plans/entry_queries.cp_multiprobe_buckets).
     """
-    rot = fold_rotations(cfg)
+    if rot is None:
+        rot = fold_rotations(cfg)
     L, k, d, _ = rot.shape
     rot2d = np.ascontiguousarray(rot.transpose(3, 0, 1, 2).reshape(d, L * k * d))
     cldim = (d - 1).bit_length() + 1  # bits per sub-hash (concat_hashes)

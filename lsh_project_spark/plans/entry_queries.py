@@ -372,6 +372,64 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mp_rot():
+    """Literal rotation tensor for the multi-probe gate: H8 (Sylvester
+    Hadamard) x diag(Rademacher +-1 from PCG64(4451)) per (table, sub-hash)
+    — the reference's structured-rotation family (src/lsh.c:100-120) with
+    +-1 entries so the production operator's float32 matmul is EXACT on the
+    +-100 integer features and DuckDB reproduces it bit-for-bit."""
+    import numpy as np
+
+    H = np.array([[1]])
+    while H.shape[0] < 8:
+        H = np.block([[H, H], [H, -H]])
+    rng = np.random.Generator(np.random.PCG64(4451))
+    D = rng.choice([-1, 1], size=(2, 2, 8))  # [L, k, d]
+    return np.einsum("ij,lkj->lkij", H, D).astype("float32")
+
+
+def _mp_features(docs: DataFrame) -> DataFrame:
+    """Deterministic integer feature vectors, portable across engines:
+    x[j] = hash62('mp' || doc_id || '_' || j) % 201 - 100."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import portable_hash62_np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            cols = [
+                portable_hash62_np([f"mp{int(i)}_{j}" for i in ids]) % 201 - 100
+                for j in range(8)
+            ]
+            x = np.stack(cols, axis=1).astype(np.float32)
+            yield pd.DataFrame({"doc_id": ids, "features": list(x)})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, features array<float>"
+    )
+
+
+def q_cp_multiprobe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-ranked single-swap multi-probe CP-LSH through the PRODUCTION
+    operator (operators/signatures.cp_multiprobe_signature_table — the
+    FALCONN probing analog, /root/reference/falconn/random_benchmark.cc:298)
+    at L=2, k=2, d=8, probes=3 over portable integer features and literal
+    +-1 rotation matrices, so the full probe sequence (argmax tie rules,
+    second-best swap, margin ordering) gates hash-exactly vs DuckDB."""
+    from ..config import CrossPolytopeConfig
+    from ..operators.signatures import cp_multiprobe_signature_table
+
+    cfg = CrossPolytopeConfig(dim=8, k=2, num_tables=2)
+    return cp_multiprobe_signature_table(
+        _mp_features(_docs(spark, sf_dir)), cfg, probes=3,
+        id_col="doc_id", rot=_mp_rot(),
+    )
+
+
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode gate: derive variable-size images deterministically
     (size = 32 + doc_id%5 * 16, fmt by doc_id parity), halve them with
@@ -407,6 +465,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "substring_pairs": q_substring_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "cp_multiprobe_buckets": q_cp_multiprobe_buckets,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "image_decode_stats": q_image_decode_stats,
 }
@@ -594,6 +653,7 @@ SELECT doc_id AS image_id,
 FROM documents
 """,
         "ann_lsh_topk": _ann_oracle_sql(),
+        "cp_multiprobe_buckets": _cp_multiprobe_oracle_sql(),
         "substring_pairs": """
 -- exact oracle for the winnowing + suffix-array pass: two docs pair iff
 -- they share an exact 50-char substring; lcs_len = 49 + the longest run
@@ -633,6 +693,12 @@ ORDER BY revenue DESC, c.c_custkey
 LIMIT 10
 """,
     }
+
+
+def _cp_multiprobe_oracle_sql() -> str:
+    from .sql_oracle import duckdb_cp_multiprobe_sql
+
+    return duckdb_cp_multiprobe_sql(_mp_rot(), d=8)
 
 
 def _ann_oracle_sql() -> str:

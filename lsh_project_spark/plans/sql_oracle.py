@@ -234,6 +234,108 @@ SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
 """
 
 
+def duckdb_cp_multiprobe_sql(rot, d: int = 8) -> str:
+    """DuckDB twin of the margin-ranked single-swap multi-probe sequence
+    (operators/signatures.cp_multiprobe_signature_table) at L=2, k=2,
+    probes=3, over integer features and the same literal +-1 rotation
+    matrices ``rot`` [L, k, d, d].  Every intermediate is exact integer
+    arithmetic, so argmax tie rules (first index wins; positive sign wins
+    at equal magnitude) and the margin sort (ties -> lower k first) are
+    reproduced deterministically:
+
+      probe 0: base bucket (h1 of both sub-hashes, (h_0 << cldim) | h_1)
+      probe 1: swap the sub-hash with the SMALLER margin to its second hash
+      probe 2: swap the other sub-hash
+    """
+    L, k = rot.shape[0], rot.shape[1]
+    assert (L, k) == (2, 2), "gate SQL is written for L=2, k=2"
+    cldim = (d - 1).bit_length() + 1
+    shift = 1 << cldim
+    m_rows = ", ".join(
+        f"({t}, {kk}, {i}, {j}, {int(rot[t, kk, i, j])})"
+        for t in range(L)
+        for kk in range(k)
+        for i in range(d)
+        for j in range(d)
+    )
+    fexpr = duckdb_hash62(
+        "concat('mp', CAST(doc_id AS VARCHAR), '_', CAST(j.j AS VARCHAR))"
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id, j.j AS j, ({fexpr}) % 201 - 100 AS x
+  FROM documents, (SELECT unnest(range(0, {d})) AS j) j
+),
+m(t, k, i, j, w) AS (SELECT * FROM (VALUES {m_rows})),
+yv AS (
+  SELECT f.doc_id, m.t, m.k, m.i, CAST(sum(f.x * m.w) AS BIGINT) AS y
+  FROM f JOIN m ON f.j = m.j
+  GROUP BY f.doc_id, m.t, m.k, m.i
+),
+ranked AS (
+  SELECT doc_id, t, k, i, y,
+         row_number() OVER (PARTITION BY doc_id, t, k ORDER BY y DESC, i ASC) AS rp,
+         row_number() OVER (PARTITION BY doc_id, t, k ORDER BY y ASC, i ASC) AS rn
+  FROM yv
+),
+h1 AS (
+  SELECT doc_id, t, k,
+         CASE WHEN vpos >= vneg THEN ipos ELSE ineg + {d} END AS h1,
+         CASE WHEN vpos >= vneg THEN ipos ELSE ineg END AS ax,
+         CASE WHEN vpos >= vneg THEN vpos ELSE vneg END AS abs1
+  FROM (
+    SELECT doc_id, t, k,
+           max(CASE WHEN rp = 1 THEN y END) AS vpos,
+           max(CASE WHEN rp = 1 THEN i END) AS ipos,
+           max(CASE WHEN rn = 1 THEN -y END) AS vneg,
+           max(CASE WHEN rn = 1 THEN i END) AS ineg
+    FROM ranked GROUP BY doc_id, t, k
+  )
+),
+second AS (
+  SELECT yv.doc_id, yv.t, yv.k, yv.i, yv.y, abs(yv.y) AS ay,
+         row_number() OVER (PARTITION BY yv.doc_id, yv.t, yv.k
+                            ORDER BY abs(yv.y) DESC, yv.i ASC) AS r2
+  FROM yv JOIN h1 USING (doc_id, t, k)
+  WHERE yv.i <> h1.ax
+),
+subh AS (
+  SELECT h1.doc_id, h1.t, h1.k, h1.h1,
+         s.h2, h1.abs1 - s.abs2 AS margin
+  FROM h1 JOIN (
+    SELECT doc_id, t, k,
+           max(CASE WHEN r2 = 1
+                    THEN i + CASE WHEN y < 0 THEN {d} ELSE 0 END END) AS h2,
+           max(CASE WHEN r2 = 1 THEN ay END) AS abs2
+    FROM second GROUP BY doc_id, t, k
+  ) s USING (doc_id, t, k)
+),
+agg AS (
+  SELECT doc_id, t,
+         max(CASE WHEN k = 0 THEN h1 END) AS h1_0,
+         max(CASE WHEN k = 1 THEN h1 END) AS h1_1,
+         max(CASE WHEN k = 0 THEN h2 END) AS h2_0,
+         max(CASE WHEN k = 1 THEN h2 END) AS h2_1,
+         max(CASE WHEN k = 0 THEN margin END) AS m0,
+         max(CASE WHEN k = 1 THEN margin END) AS m1
+  FROM subh GROUP BY doc_id, t
+)
+SELECT doc_id, CAST(t AS BIGINT) AS table_idx,
+       CAST(h1_0 * {shift} + h1_1 AS BIGINT) AS bucket
+FROM agg
+UNION ALL
+SELECT doc_id, CAST(t AS BIGINT),
+       CAST(CASE WHEN m0 <= m1 THEN h2_0 * {shift} + h1_1
+                 ELSE h1_0 * {shift} + h2_1 END AS BIGINT)
+FROM agg
+UNION ALL
+SELECT doc_id, CAST(t AS BIGINT),
+       CAST(CASE WHEN m0 <= m1 THEN h1_0 * {shift} + h2_1
+                 ELSE h2_0 * {shift} + h1_1 END AS BIGINT)
+FROM agg
+"""
+
+
 def duckdb_simhash_sql(
     num_bits: int = 56, table: str = "documents", salt: str = "s2:"
 ) -> str:

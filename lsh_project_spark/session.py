@@ -86,4 +86,20 @@ def get_spark(
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    # reliable RDD checkpoints for iterative operators (connected
+    # components, substring cells): measured ~2x on 50M-edge CC vs
+    # localCheckpoint, whose deserialized heap blocks turn half the task
+    # time into GC.  A cluster deployment points this at HDFS/S3; GC'd
+    # RDDs' checkpoint files are cleaned eagerly.
+    b = b.config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    spark = b.getOrCreate()
+    sc = spark.sparkContext
+    if not sc._jsc.sc().getCheckpointDir().isDefined():
+        import tempfile
+
+        sc.setCheckpointDir(
+            os.path.join(
+                tempfile.gettempdir(), f"spark-ckpt-{app}-{os.getpid()}"
+            )
+        )
+    return spark

@@ -234,6 +234,34 @@ def main() -> None:
     _write_report(out, ratio)
 
 
+def _cc_throughput_section() -> str:
+    """Fold the throughput-regime distributed-CC rows (produced separately
+    by scripts/cc_throughput.py — ~50M planted edges, where per-round work
+    dominates round latency) into the scaling report, if present."""
+    path = os.path.join(REPO, "BENCH", "CC_THROUGHPUT.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        cc = json.load(f)
+    lo_c, hi_c = sorted(int(c) for c in cc["levels"])
+    lo, hi = cc["levels"][str(lo_c)], cc["levels"][str(hi_c)]
+    quad = cc.get("quad_probe", {})
+    quad_line = (
+        f"  Rendering executors as PROCESSES (4 JVMs x {lo_c}c, shard each,"
+        f" per-unit storage): **{quad.get('process_scaling_efficiency')}**.\n"
+        if quad else ""
+    )
+    return f"""- **distributed-CC, throughput regime** (scripts/cc_throughput.py,
+  {cc['edges']:,} planted edges / {cc['nodes']:,} nodes, driver fast path
+  off, contraction pre-pass on, labels == union-find oracle with
+  {cc['label_mismatches']} mismatches): {lo_c}c {lo['wall_sec']}s vs
+  {hi_c}c {hi['wall_sec']}s -> in-JVM thread-scaling efficiency
+  {cc['efficiency']} at ~{lo.get('util')}/{hi.get('util')} core
+  utilization (the DAG saturates both levels; the gap is the single
+  shared JVM/disk, see BENCH/CC_THROUGHPUT.md's attribution ladder).
+{quad_line}"""
+
+
 def _write_report(out: dict, ratio: int) -> None:
     lo, hi = out["levels"]
     eff = out["efficiency"]
@@ -272,6 +300,7 @@ driver_max_edges=0, bypassing the driver union-find fast path.)
   with full utilization means each core simply computes slower when more
   cores share this VM's memory bus — a property of the shared box, not of
   the job.
+{_cc_throughput_section()}
 - **two-process contention probe** (shares NOTHING at the Spark level):
   one 4-core JVM solo = {probe['solo_walls']}s (min used); two independent
   4-core JVMs concurrently, per-pair mean = {probe['concurrent_mean_walls']}s

@@ -14,17 +14,34 @@ def _random_graph(seed, n, m):
 
 
 @pytest.mark.parametrize("seed,n,m", [(1, 50, 30), (2, 200, 150), (3, 500, 700)])
-@pytest.mark.parametrize("driver_max", [5_000_000, 0])  # fast path / distributed
-def test_cc_matches_union_find(spark, seed, n, m, driver_max):
+@pytest.mark.parametrize(
+    "driver_max,contract",
+    [(5_000_000, True), (0, True), (0, False)],
+)  # fast path / distributed+contraction / pure star loop
+def test_cc_matches_union_find(spark, seed, n, m, driver_max, contract):
     nodes, edges = _random_graph(seed, n, m)
     oracle = union_find_clusters(nodes, edges)
     edf = spark.createDataFrame(edges, "a long, b long")
     got = {
         r["id"]: r["cluster_id"]
-        for r in connected_components(edf, driver_max_edges=driver_max).collect()
+        for r in connected_components(
+            edf, driver_max_edges=driver_max, contract=contract
+        ).collect()
     }
     for node, cid in got.items():
         assert oracle[node] == cid, node
+
+
+def test_cc_distributed_string_ids_with_contraction(spark):
+    """Contraction pre-pass on object (string) ids, distributed path."""
+    edges = [("imgB", "imgA"), ("imgC", "imgB"), ("imgX", "imgY"), ("imgD", "imgC")]
+    edf = spark.createDataFrame(edges, "a string, b string")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edf, driver_max_edges=0).collect()
+    }
+    assert got["imgA"] == got["imgB"] == got["imgC"] == got["imgD"] == "imgA"
+    assert got["imgX"] == got["imgY"] == "imgX"
 
 
 def test_cc_both_paths_identical(spark):

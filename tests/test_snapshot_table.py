@@ -1,0 +1,76 @@
+"""Snapshot table layer: atomic commits, time travel, flagship wiring."""
+
+import json
+import os
+
+import pytest
+
+from lsh_project_spark.table import SnapshotTable, snapshot_dedup
+
+
+def test_commit_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    assert t.current_id() is None
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    s1 = t.commit(df1, note="first")
+    df2 = spark.createDataFrame([(1, "a2"), (3, "c")], "id long, v string")
+    s2 = t.commit(df2, note="second")
+    assert (s1, s2) == (1, 2)
+    assert t.current_id() == 2
+
+    # current read = snapshot 2; as-of read = snapshot 1, untouched
+    assert {(r["id"], r["v"]) for r in t.read().collect()} == {(1, "a2"), (3, "c")}
+    assert {(r["id"], r["v"]) for r in t.read(snapshot_id=1).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    snaps = t.snapshots()
+    assert [s["id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent"] == 1 and snaps[0]["rows"] == 2
+
+
+def test_metadata_flip_is_atomic_pointer(spark, tmp_path):
+    """A dangling data dir without a pointer update must be invisible:
+    readers see the last COMMITTED snapshot only (crash-mid-commit model)."""
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root)
+    t.commit(spark.createDataFrame([(1,)], "id long"))
+    # simulate a crash after data write, before pointer flip
+    spark.createDataFrame([(99,)], "id long").write.parquet(
+        os.path.join(root, "snap-00002")
+    )
+    assert t.current_id() == 1
+    assert [r["id"] for r in t.read().collect()] == [1]
+    # the next commit claims id 2 and overwrites the dangling directory
+    t2 = t.commit(spark.createDataFrame([(2,)], "id long"))
+    assert t2 == 2
+    assert [r["id"] for r in t.read().collect()] == [2]
+
+
+def test_snapshot_dedup_rerun_preserves_history(spark, tmp_path):
+    """Two flagship runs over different inputs: the first run's assignments
+    stay readable as-of snapshot 1 after the second commit."""
+    from lsh_project_spark.sources.fixtures import images_table
+
+    root = str(tmp_path / "dedup_tbl")
+    imgs1 = images_table(spark, num_clusters=6, seed=5).cache()
+    imgs1.count()
+    s1 = snapshot_dedup(spark, imgs1, root, note="run1")
+    t = SnapshotTable(spark, root)
+    rows1 = sorted(
+        (r["image_id"], r["cluster_id"]) for r in t.read().collect()
+    )
+
+    imgs2 = images_table(spark, num_clusters=9, seed=6).cache()
+    imgs2.count()
+    s2 = snapshot_dedup(spark, imgs2, root, note="run2")
+    assert (s1, s2) == (1, 2)
+    # as-of read returns run1's exact output; current = run2's
+    assert rows1 == sorted(
+        (r["image_id"], r["cluster_id"])
+        for r in t.read(snapshot_id=1).collect()
+    )
+    assert t.read().count() == imgs2.count()
+    with open(os.path.join(root, "metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["current"] == 2 and len(meta["snapshots"]) == 2

@@ -95,3 +95,46 @@ def test_streaming_many_batches_with_compaction(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "pbucket" in plan
+
+
+def test_streaming_hot_bucket_micro_batch(spark, tmp_path):
+    """A degenerate micro-batch (hundreds of rows colliding in one bucket)
+    must go through the salted hot-bucket star defense, not a quadratic
+    self-join: candidate edges stay O(n) per hot bucket while the batch's
+    rows still land in ONE cluster (round-4: intra-batch candidates route
+    through candidate_pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    from lsh_project_spark.sources.fixtures import IMAGES_SCHEMA
+
+    # identical caption + identical phash -> every signature modality puts
+    # all n rows in the same buckets; n >> hot_bucket_threshold (32)
+    n = 300
+    rows = pd.DataFrame(
+        {
+            "image_id": [f"hot{i:04d}" for i in range(n)],
+            "bytes": [None] * n,
+            "w": np.int32(8),
+            "h": np.int32(8),
+            "fmt": "png",
+            "caption": "the very same caption text for every row here",
+            "phash": np.int64(123456789),
+            "true_cluster_id": np.int64(1),
+        }
+    )
+    images = spark.createDataFrame(rows, IMAGES_SCHEMA)
+    cfg = PipelineConfig(substring_enabled=False)
+    inc = IncrementalDedup(spark, str(tmp_path / "state"), cfg)
+    inc.process_batch(images, 0)
+
+    pairs = inc.verified_pairs()
+    n_pairs = pairs.count()
+    # star defense: linear in n, nowhere near the C(n,2) = 44,850 of a raw
+    # self-join (chained star emits <= n-1 edges per bucket; pair dedup
+    # across modalities keeps the union small)
+    assert n_pairs < 5 * n, n_pairs
+    # ...but connectivity survives: all rows in one cluster
+    asg = inc.assignments()
+    assert asg.select("cluster_id").distinct().count() == 1
+    assert asg.count() == n
