@@ -117,8 +117,9 @@ class PipelineConfig:
     jaccard_threshold: float = 0.5
     # OR-union the suffix-array substring modality (operators/substring.py)
     # into the verified-pair set before clustering (SURVEY.md §7 M2: the
-    # engine's output is the OR of all modalities).  Streaming covers the
-    # three signature modalities only; disable for streamed==batch parity.
+    # engine's output is the OR of all modalities).  Honored by the batch
+    # pipeline, the checkpointed pipeline, AND the streaming incremental
+    # path (fingerprint + caption stores, streaming/incremental.py).
     substring_enabled: bool = True
     # skew control: buckets larger than this contribute star pairs instead
     # of all O(b^2) pairs (see operators/candidates.py).  True duplicate

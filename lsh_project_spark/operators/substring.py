@@ -210,6 +210,37 @@ def winnowed_fingerprints(
     return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
+def verify_lcs_pairs(
+    cands: DataFrame, texts: DataFrame, min_len: int,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(a, b) candidates + (id, text) -> surviving (a, b) with an exact
+    common substring >= min_len.  Direct per-pair text join — the right
+    shape for SMALL pair sets (streaming micro-batches); the batch path
+    uses the grid cogroup in substring_pairs instead."""
+    side = texts.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    joined = cands.join(
+        side.withColumnRenamed("_id", "a").withColumnRenamed("_t", "ta"), "a"
+    ).join(side.withColumnRenamed("_id", "b").withColumnRenamed("_t", "tb"), "b")
+    a_type = dict(cands.dtypes)["a"]
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = [
+                lcs_len_via_diagonal_runs(ta, tb, min_len)
+                for ta, tb in zip(pdf["ta"], pdf["tb"])
+            ]
+            out = pdf[["a", "b"]].copy()
+            out["lcs_len"] = np.array(lens, dtype=np.int64)
+            yield out[out["lcs_len"] >= min_len]
+
+    return joined.mapInPandas(
+        verify, schema=f"a {a_type}, b {a_type}, lcs_len long"
+    ).select("a", "b")
+
+
 def substring_pairs(
     docs: DataFrame, cfg: SubstringConfig, id_col: str = "doc_id",
     text_col: str = "text", hot_threshold: int = 64, grid: int = 8,

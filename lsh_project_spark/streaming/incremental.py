@@ -27,6 +27,11 @@ Store layout (the 100 TB shape):
 - profile store partitioned by ``pid = pmod(xxhash64(image_id), P)``: the
   exact-verify join only reads the partitions holding candidate ids (a
   per-batch handful), again scan-pruned and broadcast-joined.
+- substring modality (cfg.substring_enabled): a winnowed-fingerprint store
+  partitioned by ``pfp = pmod(xxhash64(fp), P)`` and a caption store by
+  ``pid`` — new captions winnow once, pair against the fp store with the
+  same pruned-scan + broadcast join, and the exact LCS verify fetches only
+  the candidate ids' captions.
 - every ``compact_every`` batches each store is rewritten (one file per
   partition, duplicates dropped) so the per-partition file count — and
   with it planning/open cost — stays bounded as batches accumulate.
@@ -40,6 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import PipelineConfig
+from ..operators.candidates import candidate_pairs
 from ..operators.profile import (
     multimodal_profile,
     profile_signatures,
@@ -66,9 +72,12 @@ class IncrementalDedup:
         self._batches_since_compact = 0
         self.store_path = os.path.join(state_dir, "profile_store")
         self.sig_store_path = os.path.join(state_dir, "sig_store")
+        self.fp_store_path = os.path.join(state_dir, "fp_store")
+        self.caption_store_path = os.path.join(state_dir, "caption_store")
         self.pairs_path = os.path.join(state_dir, "verified_pairs")
         os.makedirs(state_dir, exist_ok=True)
-        for p in (self.sig_store_path, self.store_path):
+        for p in (self.sig_store_path, self.store_path, self.fp_store_path,
+                  self.caption_store_path):
             self._recover_compaction(p)
 
     @staticmethod
@@ -129,8 +138,6 @@ class IncrementalDedup:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: profile the new rows, pair them against the
         store AND against each other, verify, append state."""
-        from ..operators.candidates import candidate_pairs
-
         cfg = self.cfg
         new_profile = multimodal_profile(
             batch_df.select("image_id", "caption", "phash"), cfg
@@ -186,6 +193,9 @@ class IncrementalDedup:
             all_profile = new_profile
 
         pairs = verify_pairs_from_profile(cands, all_profile, cfg)
+        new_fps = None
+        if cfg.substring_enabled:
+            pairs, new_fps = self._substring_batch(batch_df, pairs)
         pairs.write.mode("append").parquet(self.pairs_path)
         new_sigs.write.mode("append").partitionBy("pbucket").parquet(
             self.sig_store_path
@@ -193,12 +203,89 @@ class IncrementalDedup:
         self._with_pid(new_profile).write.mode("append").partitionBy("pid").parquet(
             self.store_path
         )
+        if new_fps is not None:
+            new_fps.write.mode("append").partitionBy("pfp").parquet(
+                self.fp_store_path
+            )
+            self._with_pid(
+                batch_df.select("image_id", F.col("caption").alias("text"))
+            ).write.mode("append").partitionBy("pid").parquet(
+                self.caption_store_path
+            )
+            new_fps.unpersist()
         cands.unpersist()
         new_sigs.unpersist()
         new_profile.unpersist()
         self._batches_since_compact += 1
         if self._batches_since_compact >= self.compact_every:
             self.compact()
+
+    # ---------------------------------------------------- substring modality
+
+    def _read_captions_for(self, ids: DataFrame) -> DataFrame:
+        """Stored captions for the given image_ids: partition-pruned scan +
+        broadcast semi-join, same pattern as _read_profiles_for."""
+        pids = [
+            r["pid"]
+            for r in ids.select(
+                F.pmod(F.xxhash64("image_id"), F.lit(self.P)).alias("pid")
+            ).distinct().collect()
+        ]
+        store = self.spark.read.parquet(self.caption_store_path).filter(
+            F.col("pid").isin(pids)
+        )
+        return store.join(F.broadcast(ids), "image_id", "left_semi").drop("pid")
+
+    def _substring_batch(self, batch_df: DataFrame, pairs: DataFrame):
+        """Substring modality, incrementally: winnow the new captions, pair
+        them against the accumulated fingerprint store (partition-pruned,
+        broadcast-joined — mirroring the signature path) and against each
+        other (through the salted hot-bucket defense), verify with the
+        exact diagonal-run LCS, and OR-union the survivors."""
+        from ..operators.substring import verify_lcs_pairs, winnowed_fingerprints
+
+        cfg = self.cfg
+        texts_new = batch_df.select("image_id", F.col("caption").alias("text"))
+        new_fps = winnowed_fingerprints(
+            texts_new, cfg.substring, id_col="image_id", text_col="text"
+        ).withColumn("pfp", F.pmod(F.xxhash64("fp"), F.lit(self.P))).persist()
+        sub_cands = candidate_pairs(
+            new_fps, id_col="image_id", bucket_cols=("fp",),
+            hot_bucket_threshold=64,
+        )
+        have_store = os.path.exists(
+            os.path.join(self.fp_store_path, "_SUCCESS")
+        )
+        if have_store:
+            hit = [r["pfp"] for r in new_fps.select("pfp").distinct().collect()]
+            store_fps = self.spark.read.parquet(self.fp_store_path).filter(
+                F.col("pfp").isin(hit)
+            )
+            cross = (
+                store_fps.select("fp", F.col("image_id").alias("a"))
+                .join(
+                    F.broadcast(new_fps.select("fp", F.col("image_id").alias("b"))),
+                    "fp",
+                )
+                .filter(F.col("a") != F.col("b"))
+                .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            )
+            sub_cands = sub_cands.unionByName(cross).dropDuplicates(["a", "b"])
+        sub_ids = (
+            sub_cands.select(F.col("a").alias("image_id"))
+            .unionByName(sub_cands.select(F.col("b").alias("image_id")))
+            .distinct()
+        )
+        texts_all = texts_new
+        if have_store:
+            texts_all = texts_all.unionByName(
+                self._read_captions_for(sub_ids)
+            ).dropDuplicates(["image_id"])
+        survivors = verify_lcs_pairs(
+            sub_cands, texts_all, cfg.substring.min_length,
+            id_col="image_id", text_col="text",
+        )
+        return pairs.unionByName(survivors), new_fps
 
     # ----------------------------------------------------------- compaction
 
@@ -229,6 +316,9 @@ class IncrementalDedup:
                 ["modality", "band", "bucket", "image_id"],
             )
             self._compact_one(self.store_path, "pid", ["image_id"])
+        if os.path.exists(os.path.join(self.fp_store_path, "_SUCCESS")):
+            self._compact_one(self.fp_store_path, "pfp", ["image_id", "fp"])
+            self._compact_one(self.caption_store_path, "pid", ["image_id"])
         self._batches_since_compact = 0
 
     # ------------------------------------------------------------- querying

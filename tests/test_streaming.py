@@ -13,10 +13,9 @@ def test_streaming_matches_batch(spark, tmp_path):
     images = images_table(spark, num_clusters=15, seed=23).cache()
     images.count()
 
-    # batch ground truth — streaming covers the three SIGNATURE
-    # modalities (CP-LSH/MinHash/SimHash); the substring pass is a
-    # batch operator, so parity is pinned with it disabled
-    cfg = PipelineConfig(substring_enabled=False)
+    # batch ground truth: ALL FOUR modalities, substring included —
+    # streaming's fp/caption stores must reproduce the batch OR-union
+    cfg = PipelineConfig()
     batch_pairs = {
         (r["a"], r["b"])
         for r in dedup_pipeline(images, cfg).verified_pairs.collect()
@@ -60,7 +59,7 @@ def test_streaming_many_batches_with_compaction(spark, tmp_path):
 
     images = images_table(spark, num_clusters=12, seed=31).cache()
     images.count()
-    cfg = PipelineConfig(substring_enabled=False)
+    cfg = PipelineConfig()
     batch_pairs = {
         (r["a"], r["b"])
         for r in dedup_pipeline(images, cfg).verified_pairs.collect()
@@ -78,8 +77,9 @@ def test_streaming_many_batches_with_compaction(spark, tmp_path):
     stream_pairs = {(r["a"], r["b"]) for r in inc.verified_pairs().collect()}
     assert stream_pairs == batch_pairs
 
-    # compaction: exactly one parquet file per partition dir in both stores
-    for store in (inc.sig_store_path, inc.store_path):
+    # compaction: exactly one parquet file per partition dir in all stores
+    for store in (inc.sig_store_path, inc.store_path, inc.fp_store_path,
+                  inc.caption_store_path):
         part_dirs = [d for d in glob.glob(os.path.join(store, "*=*"))]
         assert part_dirs, store
         for d in part_dirs:
