@@ -85,3 +85,28 @@ def test_assign_clusters_singletons(spark):
         for r in assign_clusters(ids, edges).collect()
     }
     assert got == {"a": "a", "b": "b", "c": "b"}
+
+
+def test_cc_contraction_edge_cases(spark):
+    """Fully-local graphs (contraction empties the star loop), duplicate +
+    reversed raw edges, and empty inputs all label correctly through the
+    distributed path."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "a long, b long"
+    ).coalesce(1)
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(e, driver_max_edges=0).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    e2 = spark.createDataFrame([(5, 6), (6, 5), (5, 6), (7, 8)], "a long, b long")
+    got2 = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(e2, driver_max_edges=0).collect()
+    }
+    assert got2 == {5: 5, 6: 5, 7: 7, 8: 7}
+
+    e3 = spark.createDataFrame([], "a long, b long")
+    assert connected_components(e3, driver_max_edges=0).count() == 0
+    assert connected_components(e3).count() == 0
