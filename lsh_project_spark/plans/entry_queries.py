@@ -93,11 +93,25 @@ def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# re-labeled exact-duplicate planting for the exact-dedup gate: the driver's
+# documents table has no byte-identical texts, so a gate over it alone pins
+# only the empty result (round-4 verdict: "a gate that can't fail is not
+# evidence").  Every doc_id % 7 == 0 text is re-emitted under doc_id + OFFSET,
+# giving both engines real, hash-checked duplicate groups.
+EXACT_DUP_OFFSET = 100_000_000
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact text dedup via hash-groupBy: groups of byte-identical documents."""
-    d = _docs(spark, sf_dir)
+    """Exact text dedup via hash-groupBy: groups of byte-identical documents
+    over the documents table UNION'd with a deterministic re-labeled subset
+    (doc_id % 7 == 0 -> doc_id + EXACT_DUP_OFFSET, same text)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.filter(F.expr("doc_id % 7 = 0")).select(
+        (F.col("doc_id") + F.lit(EXACT_DUP_OFFSET)).alias("doc_id"), "text"
+    )
     return (
-        d.select("doc_id", F.expr(spark_hash62("text")).alias("text_hash"))
+        d.unionByName(planted)
+        .select("doc_id", F.expr(spark_hash62("text")).alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
         .filter(F.col("n_docs") >= 2)
@@ -508,8 +522,15 @@ FROM bands x JOIN bands y
 WHERE x.doc_id < y.doc_id
 """,
         "exact_dup_groups": f"""
-SELECT text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
-FROM (SELECT doc_id, {duckdb_hash62('text')} AS text_hash FROM documents)
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_DUP_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0
+)
+SELECT text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS canonical_id
+FROM (SELECT doc_id, {duckdb_hash62('text')} AS text_hash FROM u)
 GROUP BY text_hash HAVING count(*) >= 2
 """,
         "shingle_jaccard_pairs": f"""
