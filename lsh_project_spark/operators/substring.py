@@ -145,19 +145,24 @@ def lcs_len_via_diagonal_runs(
     return int(g - 1 + run_len.max())
 
 
-def _kgram_hashes_batch(texts: list[str], k: int) -> list[np.ndarray]:
-    """Per-doc k-gram fingerprint arrays for a whole batch via ONE
-    concatenated buffer: the polynomial hashing (the expensive part) runs
-    as a handful of big chunked matmuls over all documents at once instead
-    of one tiny BLAS call per document (which is call-overhead-bound at
-    caption lengths — measured ~3x on the bench winnowing stage).  Windows
-    that straddle a document boundary exist in the big buffer but are
-    never indexed."""
+def _kgram_hash_buffer(
+    texts: list[str], k: int
+) -> tuple[np.ndarray | None, np.ndarray, np.ndarray | None]:
+    """Concatenated k-gram hash buffer for a whole batch via ONE buffer:
+    the polynomial hashing (the expensive part) runs as a handful of big
+    chunked matmuls over all documents at once instead of one tiny BLAS
+    call per document (which is call-overhead-bound at caption lengths —
+    measured ~3x on the bench winnowing stage).  Windows that straddle a
+    document boundary exist in the big buffer but are never indexed.
+
+    Returns (h, byte_lens, byte_offs): doc i's valid hashes are
+    ``h[byte_offs[i] : byte_offs[i] + byte_lens[i] - k + 1]``.
+    ``h``/``byte_offs`` are None when the whole batch is shorter than k."""
     bufs = [t.encode("utf-8") for t in texts]
     lens = np.array([len(b) for b in bufs], dtype=np.int64)
     total = int(lens.sum())
     if total < k:
-        return [np.empty(0, dtype=np.int64) for _ in texts]
+        return None, lens, None
     x = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     win = np.lib.stride_tricks.sliding_window_view(x, k)  # view, no copy
     h = np.empty(len(win), dtype=np.int64)
@@ -167,10 +172,100 @@ def _kgram_hashes_batch(texts: list[str], k: int) -> list[np.ndarray]:
         h2 = _gram_dot(blk, _M2, k)
         h[lo : lo + _ROW_CHUNK] = h1 * _M2 + h2
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return h, lens, offs
+
+
+def _kgram_hashes_batch(texts: list[str], k: int) -> list[np.ndarray]:
+    """Per-doc k-gram fingerprint arrays (thin per-doc view of the shared
+    buffer from :func:`_kgram_hash_buffer`)."""
+    h, lens, offs = _kgram_hash_buffer(texts, k)
+    if h is None:
+        return [np.empty(0, dtype=np.int64) for _ in texts]
     return [
         h[o : o + n - k + 1] if n >= k else np.empty(0, dtype=np.int64)
         for o, n in zip(offs, lens)
     ]
+
+
+def _winnow_batch(
+    texts: list[str], k: int, w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowed fingerprints for a whole batch with NO per-document Python
+    loop: (doc_index, fp) arrays, docs in batch order, fps sorted + unique
+    within each doc — bit-identical to the per-doc
+    ``np.unique(sliding_window_view(h, w).min(axis=1))`` formulation.
+
+    Steps, all vectorized: (1) hash every k-gram once over the concatenated
+    byte buffer (:func:`_kgram_hash_buffer`); (2) gather the per-doc valid
+    hashes into one contiguous buffer G (drops the boundary-straddling
+    windows); (3) one chunked global window-min pass over G; (4)
+    adjacent-dedupe the window-min stream IN PLACE before any sort — the
+    min changes only when the minimum leaves the window or a smaller hash
+    enters, so winnowing density (~2/w) shrinks the stream ~w/2 x, which
+    is what keeps this cheaper than the per-doc ``np.unique`` it replaces
+    (a global lexsort of ALL window mins measured 2x SLOWER than the
+    loop); docs with <= w hashes take their segment min via
+    ``np.minimum.reduceat``; (5) per-doc unique of the surviving ~2n/w
+    values via lexsort + adjacent-difference."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if not texts:
+        return empty
+    h, lens, offs = _kgram_hash_buffer(texts, k)
+    if h is None:
+        return empty
+    nv = np.maximum(lens - k + 1, 0)  # valid hashes per doc
+    total_v = int(nv.sum())
+    if total_v == 0:
+        return empty
+    # (2) contiguous per-doc hash buffer G; starts_v = doc offsets into G;
+    # doc_of/pos = per-G-position doc index and within-doc position
+    starts_v = np.cumsum(nv) - nv
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), nv)
+    pos = np.arange(total_v, dtype=np.int64) - starts_v[doc_of]
+    G = h[offs[doc_of] + pos]
+    # (3a) small docs (0 < n <= w): segment min.  G is the concatenation of
+    # exactly the nonempty docs' regions, so reduceat over their starts
+    # reduces each doc's full region.
+    nonempty = nv > 0
+    mins_all = np.minimum.reduceat(G, starts_v[nonempty])
+    small_sel = nv[nonempty] <= w
+    doc_small = np.nonzero(nonempty)[0][small_sel]
+    val_small = mins_all[small_sel]
+    # (3b) big docs (n > w): global window-min pass; a window START at G
+    # position p is in-bounds iff it lies >= w before its doc's end
+    big_any = bool((nv > w).any())
+    if big_any:
+        n_win = total_v - w + 1
+        # O(n) two-pass window min (block prefix/suffix mins): W[i] =
+        # min(suffix_min_in_block(i), prefix_min_in_block(i + w - 1)) —
+        # ~4 linear passes instead of the O(n*w) strided reduction
+        nb = -(-(total_v) // w)
+        pad = np.full(nb * w, np.iinfo(np.int64).max, dtype=np.int64)
+        pad[:total_v] = G
+        blocks = pad.reshape(nb, w)
+        suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+        pre = np.minimum.accumulate(blocks, axis=1).ravel()
+        W = np.minimum(suf[:n_win], pre[w - 1 : w - 1 + n_win])
+        dw = doc_of[:n_win]
+        valid = pos[:n_win] <= nv[dw] - w
+        # (4) adjacent-dedupe within each doc's (contiguous) valid run
+        keep = valid.copy()
+        keep[1:] &= (
+            ~valid[:-1] | (dw[1:] != dw[:-1]) | (W[1:] != W[:-1])
+        )
+        doc_big = dw[keep]
+        val_big = W[keep]
+    else:
+        doc_big = np.empty(0, dtype=np.int64)
+        val_big = np.empty(0, dtype=np.int64)
+    # (5) per-doc sorted unique (a value can recur in non-adjacent windows)
+    doc_all = np.concatenate((doc_small, doc_big))
+    val_all = np.concatenate((val_small, val_big))
+    order = np.lexsort((val_all, doc_all))
+    d2, v2 = doc_all[order], val_all[order]
+    keep2 = np.ones(len(d2), dtype=bool)
+    keep2[1:] = (d2[1:] != d2[:-1]) | (v2[1:] != v2[:-1])
+    return d2[keep2], v2[keep2]
 
 
 def winnowed_fingerprints(
@@ -184,26 +279,12 @@ def winnowed_fingerprints(
         for pdf in batches:
             if not len(pdf):
                 continue
-            per_doc = _kgram_hashes_batch(list(pdf[text_col]), k)
-            ids, fps = [], []
-            for i, h in zip(pdf[id_col], per_doc):
-                if len(h) == 0:
-                    continue
-                if len(h) <= w:
-                    sel = np.array([h.min()])
-                else:
-                    win = np.lib.stride_tricks.sliding_window_view(h, w)
-                    sel = np.unique(win.min(axis=1))
-                ids.append(np.full(len(sel), i, dtype=object))
-                fps.append(sel)
-            if not ids:
+            doc_sel, fps = _winnow_batch(list(pdf[text_col]), k, w)
+            if len(fps) == 0:
                 yield pd.DataFrame({id_col: [], "fp": []})
                 continue
             yield pd.DataFrame(
-                {
-                    id_col: np.concatenate(ids),
-                    "fp": np.concatenate(fps),
-                }
+                {id_col: pdf[id_col].to_numpy()[doc_sel], "fp": fps}
             )
 
     out_schema = f"{id_col} {dict(docs.dtypes)[id_col]}, fp long"

@@ -188,3 +188,47 @@ def test_substring_only_duplicate_clusters_together(spark):
         ).assignments.collect()
     }
     assert asg_off["x1"] != asg_off["x2"]
+
+
+def test_winnow_batch_matches_per_doc_formulation():
+    """The fully-batched winnow (one global window-min pass + lexsort
+    unique) must be bit-identical — values AND row order — to the per-doc
+    ``np.unique(sliding_window_view(h, w).min(axis=1))`` formulation it
+    replaced, across unicode, empty, sub-k, exactly-w and low-entropy
+    documents."""
+    from lsh_project_spark.operators.substring import (
+        _kgram_hashes_batch,
+        _winnow_batch,
+    )
+
+    def per_doc(texts, k, w):
+        ids, fps = [], []
+        for i, h in enumerate(_kgram_hashes_batch(texts, k)):
+            if len(h) == 0:
+                continue
+            if len(h) <= w:
+                sel = np.array([h.min()])
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, w)
+                sel = np.unique(win.min(axis=1))
+            ids.append(np.full(len(sel), i))
+            fps.append(sel)
+        if not ids:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(ids), np.concatenate(fps)
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    alpha = list("abcdefgh éü∆")
+    cases = [[], [""], ["short", "", "x" * 19, "y" * 20, "z" * 21, "q" * 500],
+             ["abc" * 100, "abc" * 100]]
+    for _ in range(15):
+        cases.append([
+            "".join(rng.choice(alpha, size=int(rng.integers(0, 300))))
+            for _ in range(int(rng.integers(0, 10)))
+        ])
+    for k, w in [(20, 31), (5, 4), (3, 1), (8, 100)]:
+        for texts in cases:
+            a_doc, a_fp = per_doc(texts, k, w)
+            b_doc, b_fp = _winnow_batch(texts, k, w)
+            assert np.array_equal(a_doc, b_doc), (k, w, texts)
+            assert np.array_equal(a_fp, b_fp), (k, w, texts)
