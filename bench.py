@@ -36,6 +36,8 @@ IMAGES_PATH = (
 # min-of-N repetitions for the second-scale timed loops (host shows 2-4x
 # co-tenant variance; the scaling protocol already does min-of-reps)
 _TIMING_REPS = int(os.environ.get("SPARK_GRAFT_TIMING_REPS", "3"))
+# min-of-N for the ~20-50s headline e2e runs (>=2 per round-4 verdict #5)
+_E2E_REPS = max(2, int(os.environ.get("SPARK_GRAFT_E2E_REPS", "2")))
 
 BENCH_QUERIES = [
     "minhash_bands",
@@ -100,21 +102,30 @@ def run_dedup(spark) -> tuple[float, int, dict]:
     ).format("noop").save()
     spark.catalog.clearCache()
 
-    t0 = time.time()
-    res = dedup_pipeline(images, cfg)
-    res.assignments.write.mode("overwrite").format("noop").save()
-    wall = time.time() - t0
-    spark.catalog.clearCache()
+    # headline timings are min-of-N with raw values kept (round-4 verdict:
+    # single runs on this +/-30-100%-variance host make round-over-round
+    # deltas unreadable; see BASELINE.md "Bench host noise")
+    e2e_runs = []
+    for _ in range(_E2E_REPS):
+        t0 = time.time()
+        res = dedup_pipeline(images, cfg)
+        res.assignments.write.mode("overwrite").format("noop").save()
+        e2e_runs.append(round(time.time() - t0, 2))
+        spark.catalog.clearCache()
+    wall = min(e2e_runs)
 
     # signatures-only e2e (the round-1..3 pipeline shape, before the
-    # substring modality was OR-unioned in): keeps the headline comparable
-    # round-over-round and prices the 4th modality explicitly
-    t0 = time.time()
-    dedup_pipeline(
-        images, PipelineConfig(substring_enabled=False)
-    ).assignments.write.mode("overwrite").format("noop").save()
-    sigs_wall = time.time() - t0
-    spark.catalog.clearCache()
+    # substring modality was OR-unioned in): the cross-round comparable —
+    # prices the 4th modality explicitly
+    sigs_runs = []
+    for _ in range(_E2E_REPS):
+        t0 = time.time()
+        dedup_pipeline(
+            images, PipelineConfig(substring_enabled=False)
+        ).assignments.write.mode("overwrite").format("noop").save()
+        sigs_runs.append(round(time.time() - t0, 2))
+        spark.catalog.clearCache()
+    sigs_wall = min(sigs_runs)
 
     # stage attribution (separate materializations; sums can exceed wall)
     stages = {}
@@ -177,6 +188,9 @@ def run_dedup(spark) -> tuple[float, int, dict]:
     cands.unpersist()
     verified.unpersist()
     stages["dedup_e2e_sigs_only"] = round(sigs_wall, 2)
+    # raw per-rep walls so the min is auditable against host noise
+    model["e2e_runs_raw"] = e2e_runs
+    model["sigs_only_runs_raw"] = sigs_runs
     return wall, n, stages, model
 
 

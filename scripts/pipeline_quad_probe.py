@@ -1,0 +1,268 @@
+"""Executor-process rendering of the FULL dedup pipeline's two-cluster-size
+criterion (round-5; transfers the harness that scored 0.972 for CC —
+scripts/cc_quad_probe.py — to the flagship job).
+
+BASELINE.json scales EXECUTORS (separate JVMs, one per container), but
+local[N] can only scale THREADS inside one JVM, whose shared allocator/GC/
+shuffle structures inflate per-task CPU at 4N in a way no multi-JVM
+cluster exhibits.  This probe renders executors as PROCESSES, weak-scaling
+across executor-shaped units:
+
+- one 4-core JVM runs the full 4-modality dedup pipeline
+  (CP-LSH + MinHash + SimHash + substring -> candidates -> verify -> CC)
+  on a quarter shard solo;
+- FOUR such JVMs run concurrently, each on its OWN quarter shard (together
+  the full volume on 16 cores), each with its own /dev/shm storage area
+  (per-executor local disks) and right-sized heap.
+
+process_scaling_efficiency = solo_wall / concurrent_mean_wall: 1.0 means
+four executor-shaped units complete 4x the work in the same wall clock —
+the N-vs-4N-executors behavior BASELINE.json names.  Each unit reports its
+own Spark-event-log core utilization for the timed window, so "the DAG
+kept 4 cores busy inside every unit" is evidenced, not assumed.
+
+Shards split the x40-tiled bench input by tile index (tiles are
+independent planted-cluster families by construction —
+sources/fixtures.py images_from_documents), so every shard carries the
+full duplicate structure of the x10 bench headline input (~66,670 images)
+and no near-dup pair straddles shards.
+
+Writes BENCH/PIPELINE_QUAD.json and rewrites the corresponding section of
+BENCH/BASELINE.md.  Usage: python scripts/pipeline_quad_probe.py
+Env: SPARK_GRAFT_PROBE_SHM=0 to keep shuffle I/O on the shared /tmp disk.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/tmp/bench_images_root_testdata_sf0.1_x40.parquet"
+SHARD = "/tmp/pipequad_shard_{i}.parquet"
+USE_SHM = os.environ.get("SPARK_GRAFT_PROBE_SHM", "1") == "1"
+CHILD_REPS = int(os.environ.get("SPARK_GRAFT_PIPEQUAD_REPS", "2"))
+# pinned to the DATA (one shard's volume), identical inside every unit
+CORES = 4
+SHUFFLE_PARTS = 32
+
+
+def ensure_shards() -> None:
+    if all(
+        os.path.exists(os.path.join(SHARD.format(i=i), "_SUCCESS"))
+        for i in range(4)
+    ):
+        return
+    import pyspark.sql.functions as F
+
+    from lsh_project_spark.session import get_spark
+
+    spark = get_spark(app="pipequad_gen", cores=16, shuffle_partitions=32)
+    if not os.path.exists(os.path.join(SRC, "_SUCCESS")):
+        print(f"generating {SRC} ...", flush=True)
+        from lsh_project_spark.sources.fixtures import images_from_documents
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.1/documents.parquet"
+        ).repartition(32)
+        images_from_documents(docs, seed=42, tiles=40).write.mode(
+            "overwrite"
+        ).parquet(SRC)
+    images = spark.read.parquet(SRC)
+    tile = F.expr("cast(substring(split(image_id, '_')[1], 2) as int)")
+    for i in range(4):
+        print(f"writing shard {i} ...", flush=True)
+        images.filter(tile % 4 == i).repartition(16).write.mode(
+            "overwrite"
+        ).parquet(SHARD.format(i=i))
+    spark.stop()
+
+
+def _parse_events(
+    event_dir: str, app_id: str, t0_ms: float, t1_ms: float
+) -> dict:
+    """Sum task times for tasks finishing INSIDE [t0, t1] — the best timed
+    run's window only.  An open-ended lower bound would also absorb the
+    OTHER rep's tasks whenever the best run is not the last one (the bug
+    that produced a 2.495 'utilization' in the first probe run)."""
+    run_ms = cpu_ns = 0
+    for d in glob.glob(os.path.join(event_dir, f"*{app_id}*")):
+        files = (
+            sorted(glob.glob(os.path.join(d, "events_*")))
+            if os.path.isdir(d) else [d]
+        )
+        for path in files:
+            with open(path) as f:
+                for line in f:
+                    if '"SparkListenerTaskEnd"' not in line:
+                        continue
+                    ev = json.loads(line)
+                    fin = ev.get("Task Info", {}).get("Finish Time", 0)
+                    if not (t0_ms <= fin <= t1_ms):
+                        continue
+                    tm = ev.get("Task Metrics") or {}
+                    run_ms += tm.get("Executor Run Time", 0)
+                    cpu_ns += tm.get("Executor CPU Time", 0)
+    return {"task_run_sec": run_ms / 1e3, "task_cpu_sec": cpu_ns / 1e9}
+
+
+def child_main(shard_path: str, event_dir: str) -> None:
+    """One executor-shaped unit: warmup, then CHILD_REPS cold-cache timed
+    full-pipeline runs; prints one JSON line {wall, util, cpu_frac}."""
+    from lsh_project_spark.config import PipelineConfig
+    from lsh_project_spark.pipeline import dedup_pipeline
+    from lsh_project_spark.session import get_spark
+
+    os.makedirs(event_dir, exist_ok=True)
+    spark = get_spark(
+        app=f"pipequad_{os.getpid()}", cores=CORES,
+        shuffle_partitions=SHUFFLE_PARTS,
+        extra={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{event_dir}",
+            "spark.eventLog.compress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    images = spark.read.parquet(shard_path)
+    cfg = PipelineConfig()
+    dedup_pipeline(images.limit(10000), cfg).assignments.write.mode(
+        "overwrite"
+    ).format("noop").save()
+    spark.catalog.clearCache()
+    best = None
+    for _ in range(CHILD_REPS):
+        t0 = time.time()
+        dedup_pipeline(images, cfg).assignments.write.mode(
+            "overwrite"
+        ).format("noop").save()
+        t1 = time.time()
+        wall = t1 - t0
+        spark.catalog.clearCache()
+        if best is None or wall < best[0]:
+            best = (wall, t0, t1)
+    wall, t0, t1 = best
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+    m = _parse_events(event_dir, app_id, t0 * 1000, t1 * 1000)
+    print(json.dumps({
+        "wall": round(wall, 1),
+        "util": round(m["task_run_sec"] / (wall * CORES), 3),
+        "cpu_frac": round(
+            m["task_cpu_sec"] / max(m["task_run_sec"], 1e-9), 3
+        ),
+    }), flush=True)
+
+
+def spawn(shard_idx: int, unit_tag: str) -> subprocess.Popen:
+    env = {**os.environ, "PYTHONPATH": REPO, "SPARK_DRIVER_MEM": "20g"}
+    event_dir = f"/tmp/pipequad-events-{unit_tag}"
+    shutil.rmtree(event_dir, ignore_errors=True)
+    if USE_SHM:
+        d = f"/dev/shm/pipequad_{unit_tag}"
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        env["SPARK_LOCAL_DIRS"] = d
+        env["TMPDIR"] = d
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--_child",
+         SHARD.format(i=shard_idx), event_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env, cwd=REPO,
+    )
+
+
+def _collect(p: subprocess.Popen) -> dict:
+    return json.loads(p.communicate()[0].strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--_child" in sys.argv:
+        i = sys.argv.index("--_child")
+        child_main(sys.argv[i + 1], sys.argv[i + 2])
+        return
+
+    ensure_shards()
+    solo = _collect(spawn(0, "solo"))
+    print(f"solo 4c (shard 0, min-of-{CHILD_REPS}): {solo}", flush=True)
+    procs = [spawn(i, f"q{i}") for i in range(4)]
+    units = [_collect(p) for p in procs]
+    print(f"quad 4x4c: {units}", flush=True)
+    for tag in ("solo", "q0", "q1", "q2", "q3"):
+        shutil.rmtree(f"/dev/shm/pipequad_{tag}", ignore_errors=True)
+        shutil.rmtree(f"/tmp/pipequad-events-{tag}", ignore_errors=True)
+    conc = sum(u["wall"] for u in units) / len(units)
+    eff = solo["wall"] / conc
+    out = {
+        "solo_4c": solo,
+        "quad_units": units,
+        "quad_concurrent_mean_wall": round(conc, 1),
+        "process_scaling_efficiency": round(eff, 3),
+        "images_per_shard": 66670,
+        "child_reps": CHILD_REPS,
+    }
+    print(json.dumps(out), flush=True)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "PIPELINE_QUAD.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    patch_baseline_md(out)
+
+
+MARKER = "## Executor-process rendering of the FULL dedup pipeline"
+
+
+def pipeline_quad_section() -> str:
+    """The BENCH/BASELINE.md section for the probe's latest result (also
+    called by scripts/scaling_evidence.py when it rewrites the report)."""
+    path = os.path.join(REPO, "BENCH", "PIPELINE_QUAD.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        out = json.load(f)
+    solo, units = out["solo_4c"], out["quad_units"]
+    return f"""{MARKER} (weak scaling: 4 JVMs x 4 cores, shard each)
+
+BASELINE.json's criterion scales EXECUTORS — separate JVMs, each owning a
+shard of the data, its own storage area, and a right-sized heap.
+Rendering that directly for the flagship job (full 4-modality dedup:
+CP-LSH + MinHash + SimHash + substring -> salted candidates -> exact
+verify -> connected components): one 4-core JVM processes a
+{out['images_per_shard']:,}-image tile-shard solo in {solo['wall']}s at
+{solo['util']} event-log core utilization; FOUR such JVMs run
+concurrently, each on its own disjoint tile-shard (together 4x the
+volume on 16 cores, per-unit /dev/shm storage), in
+{[u['wall'] for u in units]}s (mean {out['quad_concurrent_mean_wall']}s)
+at {[u['util'] for u in units]} per-unit utilization
+(min-of-{out['child_reps']} cold-cache runs inside every unit).
+
+**full-pipeline process-scaling efficiency =
+{out['process_scaling_efficiency']:.3f}**
+(>= 0.8 means four executor-shaped units complete 4x the work at ~the
+same wall clock — the N-vs-4N-executors behavior the criterion names.
+Produced by `scripts/pipeline_quad_probe.py`; shards split the x40-tiled
+bench input by tile index, so each carries the full planted duplicate
+structure and no near-dup pair straddles shards.)
+"""
+
+
+def patch_baseline_md(out: dict) -> None:
+    mdpath = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if not os.path.exists(mdpath):
+        return
+    with open(mdpath) as f:
+        body = f.read()
+    if MARKER in body:
+        body = body[: body.index(MARKER)].rstrip() + "\n"
+    with open(mdpath, "w") as f:
+        f.write(body + "\n" + pipeline_quad_section())
+
+
+if __name__ == "__main__":
+    main()

@@ -311,7 +311,23 @@ driver_max_edges=0, bypassing the driver union-find fast path.)
   (why every reported number is a min over repetitions).  A real
   4N-executor cluster gives each executor its own memory controller and
   no co-tenants.
-""")
+
+The two thread-scaling rows above share ONE JVM; the executor-process
+rendering below is the shape that models real N-vs-4N executors.
+For round-over-round comparisons of the e2e wall itself, BENCH_r*.json's
+`dedup_e2e_sigs_only` is the comparable (the 3-modality shape measured
+since round 1); `dedup_e2e` includes the substring modality from round 4 on.
+
+{_pipeline_quad_section()}""")
+
+
+def _pipeline_quad_section() -> str:
+    """Fold the full-pipeline executor-process rendering (produced by
+    scripts/pipeline_quad_probe.py) into the report, if present."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from pipeline_quad_probe import pipeline_quad_section
+
+    return pipeline_quad_section()
 
 
 if __name__ == "__main__":
