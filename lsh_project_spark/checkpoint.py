@@ -70,9 +70,16 @@ class CheckpointedPipeline:
             return False
         return manifest.get("key") == key
 
-    def stage(self, stage: str, parents: list[str], build) -> DataFrame:
+    def stage(
+        self, stage: str, parents: list[str], build, extra_metrics=None
+    ) -> DataFrame:
         """Return the stage DataFrame, reading from the checkpoint if this
-        exact (config, upstream) combination already completed."""
+        exact (config, upstream) combination already completed.
+
+        ``extra_metrics``: optional zero-arg callable returning a dict of
+        stage-specific metrics recorded in the manifest (evaluated only
+        when the stage actually builds — e.g. the candidate stage's
+        hot-bucket drop accounting)."""
         parent_keys = [self.keys[p] for p in parents]
         key = stage_key(stage, self.config_hash, parent_keys)
         self.keys[stage] = key
@@ -97,6 +104,8 @@ class CheckpointedPipeline:
                 "per_partition": {str(r["pid"]): int(r["count"]) for r in per_part},
                 "written_at": datetime.now(timezone.utc).isoformat(),
             }
+            if extra_metrics is not None:
+                manifest.update(extra_metrics())
             with open(os.path.join(path, MANIFEST), "w") as f:
                 json.dump(manifest, f, indent=2, sort_keys=True)
             self.manifests[stage] = manifest
@@ -125,6 +134,7 @@ def checkpointed_dedup(
 
     slim = images.select("image_id", "caption", "phash")
     profile = cp.stage("profile", [], lambda: multimodal_profile(slim, cfg))
+    dstats: dict = {}
     cands = cp.stage(
         "candidates",
         ["profile"],
@@ -132,7 +142,15 @@ def checkpointed_dedup(
             profile_signatures(profile, cfg),
             bucket_cols=("modality", "band", "bucket"),
             hot_bucket_threshold=cfg.hot_bucket_threshold,
+            drop_stats=dstats,
         ),
+        # the skew defense's exact recall-loss budget rides in the manifest
+        # (hot_pairs_dropped = C(n,2) - (n-1) summed over hot buckets), so
+        # a production run records what its star defense dropped
+        extra_metrics=lambda: {
+            f"hot_{k}": int(v)
+            for k, v in dstats["df"].collect()[0].asDict().items()
+        } if "df" in dstats else {},
     )
     pairs = cp.stage(
         "verified_pairs",

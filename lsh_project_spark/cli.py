@@ -30,7 +30,9 @@ def main(argv=None) -> int:
     p.add_argument(
         "--snapshot-root", default=None,
         help="commit assignments as a new snapshot of this versioned table "
-        "(time-travelable; see table.SnapshotTable) instead of --output",
+        "(time-travelable; see table.SnapshotTable) in addition to "
+        "--output, which is then copied from the committed snapshot "
+        "without re-running the pipeline",
     )
     args = p.parse_args(argv)
 
@@ -50,19 +52,27 @@ def main(argv=None) -> int:
     cfg = PipelineConfig(substring_enabled=not args.no_substring)
     images = spark.read.parquet(args.input)
 
+    drop_stats_df = None
     if args.checkpoint_root:
         from .checkpoint import checkpointed_dedup
 
+        # drop accounting rides in the candidates stage manifest here
         assignments = checkpointed_dedup(spark, images, args.checkpoint_root, cfg)
     else:
-        assignments = dedup_pipeline(images, cfg).assignments
+        res = dedup_pipeline(images, cfg)
+        assignments = res.assignments
+        drop_stats_df = res.drop_stats
     if args.snapshot_root:
         from .table import SnapshotTable
 
-        SnapshotTable(spark, args.snapshot_root).commit(
-            assignments, note=f"cli input={args.input}"
-        )
-    assignments.write.mode("overwrite").parquet(args.output)
+        table = SnapshotTable(spark, args.snapshot_root)
+        table.commit(assignments, note=f"cli input={args.input}")
+        # --output is served from the committed snapshot: the pipeline DAG
+        # executed once for the commit; re-writing `assignments` here
+        # would re-execute it end to end
+        table.read().write.mode("overwrite").parquet(args.output)
+    else:
+        assignments.write.mode("overwrite").parquet(args.output)
 
     if args.metrics:
         from .metrics import cluster_stats
@@ -73,6 +83,11 @@ def main(argv=None) -> int:
             "rows": out.count(),
             "clusters": cluster_stats(out),
         }
+        if drop_stats_df is not None:
+            stats["hot_drop_stats"] = {
+                f"hot_{k}": int(v)
+                for k, v in drop_stats_df.collect()[0].asDict().items()
+            }
         with open(args.metrics, "w") as f:
             json.dump(stats, f, indent=2, default=str)
     return 0

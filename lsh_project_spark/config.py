@@ -93,7 +93,11 @@ class SubstringConfig:
     """Suffix-array / winnowing substring-duplicate pass (Schleimer '03,
     Lee et al. '22)."""
 
-    min_length: int = 50  # chars of exact common substring that count as dup
+    # UTF-8 BYTES of exact common substring that count as dup (the winnow
+    # hashes and the LCS verify both run over encoded bytes; on non-ASCII
+    # text this is NOT a character count — the DuckDB oracles gram over
+    # octets to match)
+    min_length: int = 50
     kgram: int = 20
     seed: int = 991
 

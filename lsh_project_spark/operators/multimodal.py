@@ -1,11 +1,12 @@
 """Multimodal binary-column operators.
 
 Images/audio/video ride as opaque ``binary`` columns with typed metadata
-(the input_hint schema).  Image decode / feature-extract / resize are REAL
-here (pure-numpy codecs, sources/codecs.py).  Audio decode and video
-frame-sampling are stubbed behind NotImplementedError with the full
-Spark-side plumbing (schema, batching, UDF signature) in place, since the
-container ships no av libraries — the UDF bodies are the only fakes.
+(the input_hint schema).  Image decode / feature-extract / resize AND
+audio decode / feature-extract are REAL here (pure-numpy codecs,
+sources/codecs.py — PNG/lossy-DCT for images, RIFF/WAVE PCM for audio).
+Video frame-sampling remains stubbed behind NotImplementedError with the
+full Spark-side plumbing (schema, batching, UDF signature) in place: a
+video container genuinely needs codec libraries this environment lacks.
 """
 
 from __future__ import annotations
@@ -96,19 +97,38 @@ VIDEO_FRAMES_SCHEMA = "video_id string, frame_idx int, frame_bytes binary"
 
 
 def audio_features(clips: DataFrame) -> DataFrame:
-    """STUB (no audio codec in this container): plumbing is real — binary
-    column in, Arrow-batched UDF, typed feature schema out — the decode
-    call raises."""
+    """(clip_id, bytes) -> duration / RMS / zero-crossing count, decoding
+    RIFF/WAVE PCM with the self-built pure-numpy codec
+    (sources/codecs.py wav_decode — RIFF needs no external library, same
+    discipline as the PNG codec).  Multi-channel clips are analyzed on the
+    channel mean.  A zero crossing is a strict sign change between
+    consecutive samples (s[i-1] * s[i] < 0)."""
+    from ..sources.codecs import wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf):
-                raise NotImplementedError(
-                    "audio decode requires an audio codec library not present "
-                    "in this environment; plumbing (schema/batching) is real"
+            rows = []
+            for clip_id, data in zip(pdf["clip_id"], pdf["bytes"]):
+                samples, rate = wav_decode(bytes(data))
+                s = samples.mean(axis=1) if samples.shape[1] > 1 else (
+                    samples[:, 0].astype(np.float64)
+                )
+                n = len(s)
+                rows.append(
+                    {
+                        "clip_id": clip_id,
+                        "duration_sec": n / rate,
+                        "rms": round(float(np.sqrt(np.mean(s * s))), 6)
+                        if n else 0.0,
+                        "zero_crossings": int(
+                            np.count_nonzero(s[:-1] * s[1:] < 0)
+                        ),
+                    }
                 )
             yield pd.DataFrame(
-                columns=["clip_id", "duration_sec", "rms", "zero_crossings"]
+                rows, columns=[
+                    "clip_id", "duration_sec", "rms", "zero_crossings"
+                ],
             )
 
     return clips.select("clip_id", "bytes").mapInPandas(

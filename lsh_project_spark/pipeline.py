@@ -41,6 +41,9 @@ from .operators.verify import verify_jaccard, verify_phash_hamming
 class PipelineResult:
     assignments: DataFrame  # (image_id, cluster_id)
     verified_pairs: DataFrame  # (a, b)
+    # 1-row lazy DataFrame (hot_buckets, pairs_dropped, max_bucket): the
+    # skew defense's exact recall-loss accounting (operators/candidates.py)
+    drop_stats: DataFrame | None = None
 
 
 def all_signatures(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -131,10 +134,12 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
         slim = slim.repartition(target)
     profile = multimodal_profile(slim, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = profile_signatures(profile, cfg)
+    dstats: dict = {}
     cands = candidate_pairs(
         sigs,
         bucket_cols=("modality", "band", "bucket"),
         hot_bucket_threshold=cfg.hot_bucket_threshold,
+        drop_stats=dstats,
     )
     pairs = verify_pairs_from_profile(cands, profile, cfg)
     if cfg.substring_enabled:
@@ -157,7 +162,11 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
     # join chain runs once
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     assignments = assign_clusters(profile, pairs, id_col="image_id")
-    return PipelineResult(assignments=assignments, verified_pairs=pairs)
+    return PipelineResult(
+        assignments=assignments,
+        verified_pairs=pairs,
+        drop_stats=dstats.get("df"),
+    )
 
 
 # -------- per-modality variants (kept for stage attribution / diagnostics)

@@ -460,6 +460,21 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(resized).select("image_id", "w", "h", "fmt")
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode gate: derive deterministic WAV-PCM clips (mono 16-bit
+    8 kHz, samples a pure function of doc_id — sources/fixtures.py
+    clips_from_documents), then duration / RMS / zero-crossings via the
+    self-built RIFF codec (operators/multimodal.audio_features).  The
+    DuckDB oracle regenerates the identical sample stream in SQL; every
+    intermediate sum is an exact integer < 2^53, so RMS is bit-identical
+    across engines.  Any break in the WAV encode/parse path shows up as a
+    value mismatch."""
+    from ..operators.multimodal import audio_features
+    from ..sources.fixtures import clips_from_documents
+
+    return audio_features(clips_from_documents(_docs(spark, sf_dir)))
+
+
 QUERIES = {
     "minhash_bands": q_minhash_bands,
     "simhash": q_simhash,
@@ -482,6 +497,7 @@ QUERIES = {
     "cp_multiprobe_buckets": q_cp_multiprobe_buckets,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "image_decode_stats": q_image_decode_stats,
+    "audio_features": q_audio_features,
 }
 
 
@@ -673,21 +689,54 @@ SELECT doc_id AS image_id,
        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
 FROM documents
 """,
+        "audio_features": """
+-- regenerate the deterministic PCM stream the Spark side decodes from
+-- real WAV bytes (sources/fixtures.py clips_from_documents); all sums of
+-- squares are exact integers < 2^53, so sqrt/round match bit-exactly
+WITH clips AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 400 AS n FROM documents
+),
+vals AS (
+  SELECT doc_id, n, i,
+         CAST(((doc_id * 7919 + i * 104729) % 2003) - 1001 AS DOUBLE) AS s
+  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM clips)
+),
+lagged AS (
+  SELECT doc_id, n, s,
+         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev_s
+  FROM vals
+)
+SELECT CAST(doc_id AS VARCHAR) AS clip_id,
+       n / 8000.0 AS duration_sec,
+       round(sqrt(avg(s * s)), 6) AS rms,
+       CAST(sum(CASE WHEN prev_s * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings
+FROM lagged
+GROUP BY doc_id, n
+""",
         "ann_lsh_topk": _ann_oracle_sql(),
         "cp_multiprobe_buckets": _cp_multiprobe_oracle_sql(),
         "substring_pairs": """
 -- exact oracle for the winnowing + suffix-array pass: two docs pair iff
--- they share an exact 50-char substring; lcs_len = 49 + the longest run
--- of consecutive shared 50-grams on one alignment diagonal (a common
--- substring of length L >= 50 produces exactly L-49 consecutive shared
--- 50-grams at constant i-j; the converse also holds, so this is the
--- exact longest-common-substring length).
-WITH grams AS (
-  SELECT doc_id, i, substring(text, CAST(i AS INT), 50) AS g
-  FROM documents, LATERAL (
-    SELECT unnest(range(1, length(text) - 50 + 2)) AS i
+-- they share an exact 50-BYTE substring (the engine winnows and verifies
+-- over UTF-8 bytes — SubstringConfig.min_length is byte-denominated);
+-- gramming runs over hex(encode(text)) so positions/lengths are octets,
+-- matching the engine on non-ASCII text (round-4 advice).  lcs_len =
+-- 49 + the longest run of consecutive shared 50-byte grams on one
+-- alignment diagonal (a common substring of L >= 50 bytes produces
+-- exactly L-49 consecutive shared grams at constant i-j; the converse
+-- also holds, so this is the exact longest-common-substring byte length).
+WITH hexed AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, substring(hx, CAST(2 * i - 1 AS INT), 100) AS g
+  FROM hexed, LATERAL (
+    SELECT unnest(range(1, n - 50 + 2)) AS i
   ) p
-  WHERE length(text) >= 50
+  WHERE n >= 50
 ),
 m AS (
   SELECT x.doc_id AS a, y.doc_id AS b, x.i AS ia,

@@ -90,12 +90,19 @@ def duckdb_dedup_clusters_sql(
   UNION
   SELECT a, b FROM sub_edges"""
     sub_ctes = "" if g is None else f"""
+sub_hex AS (
+  -- byte-denominated gramming (hex doubles each octet): the engine
+  -- winnows/verifies over UTF-8 bytes, so the oracle must too
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM imgs
+),
 sub_grams AS (
-  SELECT doc_id, substring(text, CAST(i AS INT), {g}) AS sg
-  FROM imgs, LATERAL (
-    SELECT unnest(range(1, length(text) - {g} + 2)) AS i
+  SELECT doc_id, substring(hx, CAST(2 * i - 1 AS INT), {2 * g}) AS sg
+  FROM sub_hex, LATERAL (
+    SELECT unnest(range(1, n - {g} + 2)) AS i
   ) p
-  WHERE length(text) >= {g}
+  WHERE n >= {g}
 ),
 sub_edges AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

@@ -94,7 +94,16 @@ def get_spark(
     b = b.config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     spark = b.getOrCreate()
     sc = spark.sparkContext
-    if not sc._jsc.sc().getCheckpointDir().isDefined():
+    # Default the reliable-checkpoint dir ONLY in local mode: a
+    # driver-local tempdir is a valid checkpoint target only when driver
+    # and executors share one filesystem.  On a real cluster (non-local
+    # master) executors would write disjoint local paths and iterative
+    # CC/substring checkpoints would corrupt — there the deployment must
+    # set a shared dir (HDFS/S3) itself, and the operators' localCheckpoint
+    # fallback covers the unset case.
+    if sc.master.startswith("local") and not (
+        sc._jsc.sc().getCheckpointDir().isDefined()
+    ):
         import tempfile
 
         sc.setCheckpointDir(

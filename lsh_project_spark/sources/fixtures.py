@@ -304,3 +304,35 @@ def images_sized(docs, seed: int = 42):
     return docs.select("doc_id").mapInPandas(
         gen, schema="image_id long, bytes binary, w int, h int, fmt string"
     )
+
+
+def clips_from_documents(docs):
+    """Deterministic WAV-PCM clips for the audio gate: per document a mono
+    16-bit 8 kHz clip of n = 800 + (doc_id % 5) * 400 samples with
+    samples[i] = ((doc_id * 7919 + i * 104729) % 2003) - 1001 — a rule the
+    DuckDB oracle reproduces exactly in SQL (all sums of squares are exact
+    integers < 2^53, so RMS is bit-identical across engines), while the
+    Spark side must round-trip real RIFF/WAVE bytes through the self-built
+    codec (sources/codecs.py wav_encode/wav_decode)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import wav_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 800 + (doc_id % 5) * 400
+                i = np.arange(n, dtype=np.int64)
+                s = ((doc_id * 7919 + i * 104729) % 2003) - 1001
+                rows.append(
+                    {
+                        "clip_id": str(doc_id),
+                        "bytes": wav_encode(s.astype(np.int16), 8000),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="clip_id string, bytes binary"
+    )

@@ -22,8 +22,10 @@ Store layout (the 100 TB shape):
   bucket), P)``: a micro-batch only reads the partitions its OWN buckets
   hash into (exact — matching (modality, band, bucket) rows cannot live
   elsewhere), so per-batch store I/O tracks the batch's bucket coverage,
-  not total store size, and the batch side broadcasts so the store never
-  shuffles.
+  not total store size; the batch side broadcasts, and the pruned store
+  subset is capped per bucket (``_cap_per_bucket`` — the streaming analog
+  of the batch hot-bucket star defense) before the join, so a degenerate
+  bucket accumulating in the store cannot make per-batch work unbounded.
 - profile store partitioned by ``pid = pmod(xxhash64(image_id), P)``: the
   exact-verify join only reads the partitions holding candidate ids (a
   per-batch handful), again scan-pruned and broadcast-joined.
@@ -52,6 +54,43 @@ from ..operators.profile import (
     verify_pairs_from_profile,
 )
 
+# hot-fingerprint threshold for the substring modality (intra-batch star
+# defense AND the store-side cap below share it, so streaming matches the
+# batch substring_pairs skew defense)
+_FP_HOT = 64
+
+
+def _cap_per_bucket(
+    df: DataFrame, bucket_cols: tuple[str, ...], cap: int,
+    id_col: str = "image_id", salt: int = 16,
+) -> DataFrame:
+    """Bound the STORE side of a new-vs-store cross join to ``cap`` rows
+    per bucket (the streaming analog of the batch hot-bucket star defense
+    — round-4 advice: without it a degenerate bucket accumulating in the
+    store makes per-batch candidates grow unboundedly).
+
+    Skew-safe two-phase selection: rank within (bucket, salt) first — a
+    degenerate bucket spreads over ``salt`` reducers, each sorting only
+    its shard — then rank the <= ~cap survivors per bucket.  Deterministic
+    given the ids.  Like the batch star defense this can only LOSE
+    candidate pairs for buckets past the cap (every new row still meets up
+    to ``cap`` stored members per bucket, keeping component connectivity
+    through the store's existing edges); exact verify follows, so no false
+    positives."""
+    from pyspark.sql import Window
+
+    per_salt = -(-cap // salt)
+    w1 = Window.partitionBy(*bucket_cols, "_s").orderBy(id_col)
+    w2 = Window.partitionBy(*bucket_cols).orderBy(id_col)
+    return (
+        df.withColumn("_s", F.pmod(F.xxhash64(id_col), F.lit(salt)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= per_salt)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= cap)
+        .drop("_s", "_r1", "_r2")
+    )
+
 
 class IncrementalDedup:
     """Micro-batch incremental dedup over a streaming images DataFrame."""
@@ -75,9 +114,11 @@ class IncrementalDedup:
         self.fp_store_path = os.path.join(state_dir, "fp_store")
         self.caption_store_path = os.path.join(state_dir, "caption_store")
         self.pairs_path = os.path.join(state_dir, "verified_pairs")
+        self.assign_store_path = os.path.join(state_dir, "assign_store")
+        self.remap_path = os.path.join(state_dir, "cluster_remap.json")
         os.makedirs(state_dir, exist_ok=True)
         for p in (self.sig_store_path, self.store_path, self.fp_store_path,
-                  self.caption_store_path):
+                  self.caption_store_path, self.assign_store_path):
             self._recover_compaction(p)
 
     @staticmethod
@@ -160,11 +201,17 @@ class IncrementalDedup:
         if self._store_exists():
             # new-vs-store: read ONLY the store partitions the new batch's
             # buckets hash into (exact pruning — equal (modality, band,
-            # bucket) implies equal pbucket), broadcast the new side so the
-            # store streams through the join with no shuffle.
+            # bucket) implies equal pbucket), cap the pruned subset per
+            # bucket (skew defense), broadcast the new side.  Only the
+            # pruned per-batch subset ever shuffles (for the cap's ranking)
+            # — never the store as a whole.
             hit = [r["pbucket"] for r in new_sigs.select("pbucket").distinct().collect()]
-            store_sigs = self.spark.read.parquet(self.sig_store_path).filter(
-                F.col("pbucket").isin(hit)
+            store_sigs = _cap_per_bucket(
+                self.spark.read.parquet(self.sig_store_path).filter(
+                    F.col("pbucket").isin(hit)
+                ),
+                ("modality", "band", "bucket"),
+                cfg.hot_bucket_threshold,
             )
             cross = (
                 store_sigs.select(
@@ -196,7 +243,12 @@ class IncrementalDedup:
         new_fps = None
         if cfg.substring_enabled:
             pairs, new_fps = self._substring_batch(batch_df, pairs)
+        pairs = pairs.persist()
         pairs.write.mode("append").parquet(self.pairs_path)
+        self._update_assignments(
+            new_profile.select("image_id"), pairs
+        )
+        pairs.unpersist()
         new_sigs.write.mode("append").partitionBy("pbucket").parquet(
             self.sig_store_path
         )
@@ -251,15 +303,19 @@ class IncrementalDedup:
         ).withColumn("pfp", F.pmod(F.xxhash64("fp"), F.lit(self.P))).persist()
         sub_cands = candidate_pairs(
             new_fps, id_col="image_id", bucket_cols=("fp",),
-            hot_bucket_threshold=64,
+            hot_bucket_threshold=_FP_HOT,
         )
         have_store = os.path.exists(
             os.path.join(self.fp_store_path, "_SUCCESS")
         )
         if have_store:
             hit = [r["pfp"] for r in new_fps.select("pfp").distinct().collect()]
-            store_fps = self.spark.read.parquet(self.fp_store_path).filter(
-                F.col("pfp").isin(hit)
+            store_fps = _cap_per_bucket(
+                self.spark.read.parquet(self.fp_store_path).filter(
+                    F.col("pfp").isin(hit)
+                ),
+                ("fp",),
+                _FP_HOT,
             )
             cross = (
                 store_fps.select("fp", F.col("image_id").alias("a"))
@@ -286,6 +342,121 @@ class IncrementalDedup:
             id_col="image_id", text_col="text",
         )
         return pairs.unionByName(survivors), new_fps
+
+    # ----------------------------------------- incremental cluster maintenance
+
+    def _load_remap(self) -> dict:
+        import json
+
+        if not os.path.exists(self.remap_path):
+            return {}
+        with open(self.remap_path) as f:
+            # stored as [old, new] pairs so JSON round-trips int/str ids
+            return dict(map(tuple, json.load(f)))
+
+    def _save_remap(self, remap: dict) -> None:
+        import json
+
+        tmp = self.remap_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([[k, v] for k, v in remap.items()], f)
+        os.replace(tmp, self.remap_path)
+
+    def _update_assignments(self, new_ids_df: DataFrame, pairs: DataFrame) -> None:
+        """Per-micro-batch cluster maintenance (round-4 verdict #4): keep an
+        assignment store (image_id -> cluster_id, pid-partitioned) plus a
+        small cluster-remap forest, updated by union-find over (prior
+        assignments of TOUCHED ids) ∪ (this batch's verified pairs).  Only
+        components touched by new pairs change; per-batch cost is bounded
+        by the new-pair/new-row count (pruned store reads + a driver
+        union-find over the touched cluster ids), not by store size.
+
+        Invariant matched to batch CC: cluster_id is the min member id of
+        the component.  Cluster ids ARE member ids, every merge keeps the
+        min, and new singletons label themselves — so resolving a stored
+        label through the remap forest lands on the min member id of the
+        full accumulated component, exactly what assign_clusters computes
+        over the union of all batches (pinned by tests/test_streaming.py).
+
+        Merges are recorded in the remap (old_cluster -> new_root, kept
+        fully flattened) instead of rewriting stored member rows; readers
+        apply it as a broadcast join, and compact() folds it into the
+        store."""
+        new_ids = [r["image_id"] for r in new_ids_df.distinct().collect()]
+        ppdf = pairs.select("a", "b").toPandas()
+        # .tolist() yields native Python ids (numpy scalars break JSON)
+        pair_a, pair_b = ppdf["a"].tolist(), ppdf["b"].tolist()
+        touched = set(new_ids) | set(pair_a) | set(pair_b)
+        have_store = os.path.exists(
+            os.path.join(self.assign_store_path, "_SUCCESS")
+        )
+        id_type = dict(new_ids_df.dtypes)["image_id"]
+        prior: dict = {}
+        old_touched = touched - set(new_ids)
+        if have_store and old_touched:
+            ids_df = self.spark.createDataFrame(
+                [(i,) for i in old_touched], f"image_id {id_type}"
+            )
+            pids = [
+                r["pid"] for r in ids_df.select(
+                    F.pmod(F.xxhash64("image_id"), F.lit(self.P)).alias("pid")
+                ).distinct().collect()
+            ]
+            rows = (
+                self.spark.read.parquet(self.assign_store_path)
+                .filter(F.col("pid").isin(pids))
+                .join(F.broadcast(ids_df), "image_id", "left_semi")
+                .select("image_id", "cluster_id")
+                .collect()
+            )
+            prior = {r["image_id"]: r["cluster_id"] for r in rows}
+
+        remap = self._load_remap()
+
+        def resolve(c):
+            while c in remap:
+                c = remap[c]
+            return c
+
+        # union-find over the touched ids' current cluster roots
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        base = {i: resolve(prior[i]) if i in prior else i for i in touched}
+        for a, b in zip(pair_a, pair_b):
+            ra, rb = find(base[a]), find(base[b])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        # record merges; keep the remap forest fully flattened
+        for c in {v for v in base.values()}:
+            r = find(c)
+            if r != c:
+                remap[c] = r
+        for k in list(remap):
+            remap[k] = resolve(remap[k])
+        self._save_remap(remap)
+
+        # append assignments for genuinely new ids only (a re-arriving id
+        # already has a row; the remap converges both to the same root)
+        fresh = [i for i in new_ids if i not in prior]
+        if fresh:
+            out = self.spark.createDataFrame(
+                [(i, find(base[i])) for i in fresh],
+                f"image_id {id_type}, cluster_id {id_type}",
+            )
+            out.withColumn(
+                "pid", F.pmod(F.xxhash64("image_id"), F.lit(self.P))
+            ).write.mode("append").partitionBy("pid").parquet(
+                self.assign_store_path
+            )
 
     # ----------------------------------------------------------- compaction
 
@@ -319,6 +490,39 @@ class IncrementalDedup:
         if os.path.exists(os.path.join(self.fp_store_path, "_SUCCESS")):
             self._compact_one(self.fp_store_path, "pfp", ["image_id", "fp"])
             self._compact_one(self.caption_store_path, "pid", ["image_id"])
+        if os.path.exists(os.path.join(self.assign_store_path, "_SUCCESS")):
+            # fold the cluster remap into the stored labels, then clear it
+            # (keeps the broadcast side at read time permanently small)
+            remap = self._load_remap()
+            if remap:
+                id_type = dict(
+                    self.spark.read.parquet(self.assign_store_path).dtypes
+                )["cluster_id"]
+                rdf = self.spark.createDataFrame(
+                    list(remap.items()), f"cluster_id {id_type}, _root {id_type}"
+                )
+                tmp = self.assign_store_path + "_compacting"
+                (
+                    self.spark.read.parquet(self.assign_store_path)
+                    .join(F.broadcast(rdf), "cluster_id", "left")
+                    .select(
+                        "image_id",
+                        F.coalesce("_root", "cluster_id").alias("cluster_id"),
+                        "pid",
+                    )
+                    .dropDuplicates(["image_id"])
+                    .repartition("pid")
+                    .write.mode("overwrite").partitionBy("pid").parquet(tmp)
+                )
+                import shutil
+
+                old = self.assign_store_path + "_old"
+                os.rename(self.assign_store_path, old)
+                os.rename(tmp, self.assign_store_path)
+                shutil.rmtree(old)
+                self._save_remap({})
+            else:
+                self._compact_one(self.assign_store_path, "pid", ["image_id"])
         self._batches_since_compact = 0
 
     # ------------------------------------------------------------- querying
@@ -341,7 +545,35 @@ class IncrementalDedup:
         return df.dropDuplicates(["a", "b"])
 
     def assignments(self) -> DataFrame:
-        """Cluster the accumulated verified pairs (batch CC over state)."""
+        """Current cluster assignments from the incrementally-maintained
+        store: stored labels resolved through the (broadcast) cluster
+        remap — no CC recompute over accumulated pairs.  Falls back to
+        batch CC for state dirs written before the assignment store
+        existed."""
+        if not os.path.exists(os.path.join(self.assign_store_path, "_SUCCESS")):
+            return self.assignments_recomputed()
+        store = (
+            self.spark.read.parquet(self.assign_store_path)
+            .select("image_id", "cluster_id")
+        )
+        remap = self._load_remap()
+        if remap:
+            id_type = dict(store.dtypes)["cluster_id"]
+            rdf = self.spark.createDataFrame(
+                list(remap.items()), f"cluster_id {id_type}, _root {id_type}"
+            )
+            store = (
+                store.join(F.broadcast(rdf), "cluster_id", "left")
+                .select(
+                    "image_id",
+                    F.coalesce("_root", "cluster_id").alias("cluster_id"),
+                )
+            )
+        return store.dropDuplicates(["image_id"])
+
+    def assignments_recomputed(self) -> DataFrame:
+        """Batch CC over all accumulated verified pairs (the full-recompute
+        twin; the incremental store is pinned against it in tests)."""
         from ..operators.cluster import assign_clusters
 
         profile = self.spark.read.parquet(self.store_path)

@@ -30,9 +30,16 @@ import json
 import os
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 METADATA = "metadata.json"
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when a commit's parent snapshot is no longer current (another
+    writer committed first) — the optimistic-concurrency surface Iceberg
+    exposes; the caller re-reads the table and retries on fresh state."""
 
 
 class SnapshotTable:
@@ -64,16 +71,58 @@ class SnapshotTable:
 
     def commit(self, df: DataFrame, note: str = "") -> int:
         """Write ``df`` as the next snapshot and atomically make it current.
-        Returns the new snapshot id."""
+        Returns the new snapshot id.
+
+        Optimistic concurrency (Iceberg's commit semantics): the snapshot
+        id is CLAIMED via an O_EXCL sentinel file before any data is
+        written — two writers that both read ``current = N`` both compute
+        sid N+1, but only one can create ``claim-<N+1>``; the loser gets
+        :class:`CommitConflictError` and must re-read and retry on fresh
+        state.  The pointer flip re-validates the parent, so a commit can
+        never silently discard another writer's snapshot (the round-4 lost
+        -commit race).  A writer that crashes between claim and flip
+        leaves its claim file behind; the error message names it for
+        manual recovery (single-crash cleanup, like removing a stale
+        Iceberg metadata lock).
+
+        The row count comes from the WRITE job itself (``Observation``),
+        not a second read of the freshly written Parquet."""
         meta = self._load_meta()
-        sid = (meta["current"] or 0) + 1
+        parent = meta["current"]
+        sid = (parent or 0) + 1
+        claim = os.path.join(self.root, f"claim-{sid:05d}")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"{self.root}: snapshot {sid} already claimed — parent "
+                f"{parent} is no longer current (concurrent commit), or a "
+                f"crashed writer left {claim} behind; re-read and retry, "
+                f"or remove the stale claim file"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({
+                "pid": os.getpid(),
+                "claimed_at": datetime.now(timezone.utc).isoformat(),
+            }))
         data_dir = os.path.join(self.root, f"snap-{sid:05d}")
-        df.write.mode("overwrite").parquet(data_dir)
-        rows = self.spark.read.parquet(data_dir).count()
+        obs = Observation(f"snapshot-commit-{sid}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        rows = obs.get["rows"]
+        # re-validate the parent at flip time: the claim makes this
+        # unreachable for same-parent racers, but it keeps the invariant
+        # explicit (and catches a manually-edited metadata.json)
+        if self._load_meta()["current"] != parent:
+            raise CommitConflictError(
+                f"{self.root}: current moved past parent {parent} during "
+                f"commit of snapshot {sid}; data at {data_dir} orphaned"
+            )
         meta["snapshots"].append(
             {
                 "id": sid,
-                "parent": meta["current"],
+                "parent": parent,
                 "path": data_dir,
                 "rows": int(rows),
                 "written_at": datetime.now(timezone.utc).isoformat(),
@@ -81,7 +130,7 @@ class SnapshotTable:
             }
         )
         meta["current"] = sid
-        tmp = self._meta_path() + ".tmp"
+        tmp = self._meta_path() + f".tmp-{sid}"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True)
         os.replace(tmp, self._meta_path())  # atomic pointer flip

@@ -93,3 +93,47 @@ def test_checkpointed_dedup_resume_identical(spark, tmp_path):
     direct = dedup_pipeline(images, cfg).assignments
     rows3 = sorted((r["image_id"], r["cluster_id"]) for r in direct.collect())
     assert rows1 == rows3
+
+
+def test_candidates_manifest_records_hot_drop_budget(spark, tmp_path):
+    """A planted hot bucket's exact drop accounting (C(n,2) - (n-1) pairs
+    per hot bucket) must ride in the candidates stage manifest, matching
+    candidate_pairs' own drop_stats on the same input."""
+    import pyspark.sql.functions as F
+
+    from lsh_project_spark.operators.candidates import candidate_pairs
+    from lsh_project_spark.operators.profile import (
+        multimodal_profile,
+        profile_signatures,
+    )
+
+    # 60 images sharing ONE caption (every MinHash/SimHash band bucket is
+    # a 60-member mega-bucket at threshold 20) + distinct-caption controls
+    cap = "planted hot bucket caption shared by every row in this test"
+    rows = [(f"h{i:03d}", cap, i * 7919) for i in range(60)]
+    rows += [(f"c{i:03d}", f"control caption number {i} entirely its own", i)
+             for i in range(10)]
+    images = spark.createDataFrame(
+        rows, "image_id string, caption string, phash long"
+    )
+    cfg = PipelineConfig(hot_bucket_threshold=20, substring_enabled=False)
+
+    root = str(tmp_path / "ckpt")
+    checkpointed_dedup(spark, images, root, cfg)
+    with open(os.path.join(root, "candidates", MANIFEST)) as f:
+        manifest = json.load(f)
+    assert manifest["hot_hot_buckets"] > 0
+    assert manifest["hot_pairs_dropped"] > 0
+
+    # independent accounting straight from the operator on the same input
+    dstats = {}
+    candidate_pairs(
+        profile_signatures(multimodal_profile(images, cfg), cfg),
+        bucket_cols=("modality", "band", "bucket"),
+        hot_bucket_threshold=cfg.hot_bucket_threshold,
+        drop_stats=dstats,
+    ).count()
+    expect = dstats["df"].collect()[0].asDict()
+    assert manifest["hot_hot_buckets"] == int(expect["hot_buckets"])
+    assert manifest["hot_pairs_dropped"] == int(expect["pairs_dropped"])
+    assert manifest["hot_max_bucket"] == int(expect["max_bucket"])

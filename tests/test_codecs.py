@@ -64,3 +64,73 @@ def test_phash_to_vector_unit_norm():
     v = C.phash_to_vector(np.array([123456789, -42, 0]))
     assert v.shape == (3, 64)
     assert np.allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-6)
+
+
+def test_wav_roundtrip_mono_stereo_bits():
+    """RIFF/WAVE PCM encode -> decode is exact for 16-bit signed (mono and
+    stereo) and 8-bit unsigned, including odd-length (word-padded) data."""
+    import numpy as np
+
+    from lsh_project_spark.sources.codecs import wav_decode, wav_encode
+
+    rng = np.random.Generator(np.random.PCG64(99))
+    mono = rng.integers(-32768, 32768, size=1001).astype(np.int16)
+    out, rate = wav_decode(wav_encode(mono, 8000))
+    assert rate == 8000 and out.shape == (1001, 1)
+    assert np.array_equal(out[:, 0], mono)
+
+    stereo = rng.integers(-32768, 32768, size=(500, 2)).astype(np.int16)
+    out, rate = wav_decode(wav_encode(stereo, 44100))
+    assert rate == 44100 and np.array_equal(out, stereo)
+
+    u8 = rng.integers(0, 256, size=333).astype(np.uint8)  # odd byte count
+    out, rate = wav_decode(wav_encode(u8, 16000, bits=8))
+    assert rate == 16000 and np.array_equal(out[:, 0], u8)
+
+
+def test_wav_decode_skips_unknown_chunks():
+    """A LIST/INFO chunk between fmt and data (common in real WAV files)
+    must be skipped by the chunk walker."""
+    import struct
+
+    import numpy as np
+
+    from lsh_project_spark.sources.codecs import wav_decode, wav_encode
+
+    data = wav_encode(np.arange(-50, 50, dtype=np.int16), 8000)
+    # splice an unknown chunk right after the fmt chunk (ends at 12+8+16)
+    cut = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 7) + b"INFOxyz" + b"\x00"  # padded
+    spliced = data[:cut] + junk + data[cut:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out, rate = wav_decode(spliced)
+    assert rate == 8000
+    assert np.array_equal(out[:, 0], np.arange(-50, 50))
+
+
+def test_audio_features_matches_direct_computation(spark):
+    """audio_features over real WAV bytes == duration/RMS/zero-crossings
+    computed directly from the PCM samples."""
+    import numpy as np
+
+    from lsh_project_spark.operators.multimodal import audio_features
+    from lsh_project_spark.sources.codecs import wav_encode
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    clips, expect = [], {}
+    for cid in range(5):
+        n = 800 + cid * 321
+        s = rng.integers(-20000, 20000, size=n).astype(np.int16)
+        clips.append((str(cid), bytearray(wav_encode(s, 8000))))
+        sf = s.astype(np.float64)
+        expect[str(cid)] = (
+            n / 8000,
+            round(float(np.sqrt(np.mean(sf * sf))), 6),
+            int(np.count_nonzero(sf[:-1] * sf[1:] < 0)),
+        )
+    df = spark.createDataFrame(clips, "clip_id string, bytes binary")
+    got = {
+        r["clip_id"]: (r["duration_sec"], r["rms"], r["zero_crossings"])
+        for r in audio_features(df).collect()
+    }
+    assert got == expect

@@ -74,3 +74,44 @@ def test_snapshot_dedup_rerun_preserves_history(spark, tmp_path):
     with open(os.path.join(root, "metadata.json")) as f:
         meta = json.load(f)
     assert meta["current"] == 2 and len(meta["snapshots"]) == 2
+
+
+def test_concurrent_commit_conflict_raises_and_preserves_winner(spark, tmp_path):
+    """Optimistic concurrency: two writers that both read current=1 race to
+    commit snapshot 2 — the second raises CommitConflictError and the
+    winner's snapshot + history stay intact (no lost commit)."""
+    from lsh_project_spark.table import CommitConflictError
+
+    from unittest import mock
+
+    root = str(tmp_path / "tbl")
+    a = SnapshotTable(spark, root)
+    a.commit(spark.createDataFrame([(1,)], "id long"), note="base")
+
+    # B reads current=1, then A commits snapshot 2 first: B's claim of the
+    # same sid must fail (the interleaving is pinned by handing B its
+    # stale metadata view)
+    b = SnapshotTable(spark, root)
+    stale = b._load_meta()
+    a.commit(spark.createDataFrame([(2,)], "id long"), note="winner")
+    with mock.patch.object(b, "_load_meta", return_value=stale):
+        with pytest.raises(CommitConflictError, match="claimed"):
+            b.commit(spark.createDataFrame([(99,)], "id long"), note="loser")
+
+    assert a.current_id() == 2
+    assert [r["id"] for r in a.read().collect()] == [2]
+    snaps = a.snapshots()
+    assert [s["id"] for s in snaps] == [1, 2]
+    assert snaps[1]["note"] == "winner" and snaps[1]["rows"] == 1
+    # loser retries on fresh state and succeeds as snapshot 3
+    s3 = b.commit(spark.createDataFrame([(3,)], "id long"), note="retry")
+    assert s3 == 3 and a.current_id() == 3
+
+
+def test_commit_rows_come_from_write_job(spark, tmp_path):
+    """The recorded row count must match the written data without a second
+    read of the snapshot (Observation on the write job)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(0, 1234).selectExpr("id", "id * 2 AS v")
+    t.commit(df)
+    assert t.snapshots()[0]["rows"] == 1234

@@ -138,3 +138,147 @@ def test_streaming_hot_bucket_micro_batch(spark, tmp_path):
     asg = inc.assignments()
     assert asg.select("cluster_id").distinct().count() == 1
     assert asg.count() == n
+
+
+def test_incremental_assignments_across_batches(spark, tmp_path):
+    """Round-5: cluster maintenance is incremental — an assignment store +
+    remap forest updated per micro-batch.  Three batches where batch 3's
+    pairs MERGE clusters created in batches 1 and 2: the incremental
+    assignments must equal both the full batch-CC recompute and the batch
+    pipeline over the union, before and after compaction folds the remap
+    into the store."""
+    import json
+    import os
+
+    images = images_table(spark, num_clusters=10, seed=47).cache()
+    images.count()
+    cfg = PipelineConfig()
+    inc = IncrementalDedup(
+        spark, str(tmp_path / "state"), cfg, num_store_partitions=8
+    )
+    # interleave cluster families across batches so near-dup pairs straddle
+    # batch boundaries (variant index mod 3)
+    for b in range(3):
+        inc.process_batch(
+            images.filter(
+                F.expr(f"pmod(cast(substring(image_id, -1, 1) as int), 3) = {b}")
+            ),
+            b,
+        )
+
+    assert os.path.exists(os.path.join(inc.assign_store_path, "_SUCCESS"))
+    incr = {(r["image_id"], r["cluster_id"]) for r in inc.assignments().collect()}
+    recomputed = {
+        (r["image_id"], r["cluster_id"])
+        for r in inc.assignments_recomputed().collect()
+    }
+    assert incr == recomputed
+    batch_asg = {
+        (r["image_id"], r["cluster_id"])
+        for r in dedup_pipeline(images, cfg).assignments.collect()
+    }
+    assert incr == batch_asg
+
+    inc.compact()
+    after = {(r["image_id"], r["cluster_id"]) for r in inc.assignments().collect()}
+    assert after == batch_asg
+
+
+def test_incremental_merge_of_existing_clusters(spark, tmp_path):
+    """A batch-3 bridge row that connects TWO clusters committed in earlier
+    batches: the merge must land in the remap forest (no member rewrite),
+    assignments must equal the full recompute, and compact() must fold the
+    remap into the store."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from lsh_project_spark.sources.fixtures import IMAGES_SCHEMA
+
+    def mk(ids, caption, phash):
+        n = len(ids)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bytes": [None] * n,
+                    "w": np.int32(8),
+                    "h": np.int32(8),
+                    "fmt": "png",
+                    "caption": caption,
+                    "phash": np.int64(phash),
+                    "true_cluster_id": np.int64(0),
+                }
+            ),
+            IMAGES_SCHEMA,
+        )
+
+    cap_x = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    cap_y = "one two three four five six seven eight nine ten eleven"
+    cfg = PipelineConfig(substring_enabled=False)
+    inc = IncrementalDedup(spark, str(tmp_path / "state"), cfg)
+    inc.process_batch(mk([f"a{i}" for i in range(4)], cap_x, 1111), 0)
+    inc.process_batch(mk([f"b{i}" for i in range(4)], cap_y, 1 << 40), 1)
+    two = {(r["image_id"], r["cluster_id"]) for r in inc.assignments().collect()}
+    assert len({c for _, c in two}) == 2  # two separate clusters so far
+    # bridge: phash matches cluster A (Hamming 0), caption matches cluster B
+    inc.process_batch(mk(["zbridge"], cap_y, 1111), 2)
+
+    with open(inc.remap_path) as f:
+        remap = json.load(f)
+    assert len(remap) > 0  # an existing cluster was re-rooted, not rewritten
+    incr = {(r["image_id"], r["cluster_id"]) for r in inc.assignments().collect()}
+    assert incr == {
+        (r["image_id"], r["cluster_id"])
+        for r in inc.assignments_recomputed().collect()
+    }
+    assert len({c for _, c in incr}) == 1 and len(incr) == 9
+    inc.compact()
+    with open(inc.remap_path) as f:
+        assert json.load(f) == []
+    assert incr == {
+        (r["image_id"], r["cluster_id"]) for r in inc.assignments().collect()
+    }
+
+
+def test_streaming_store_side_hot_bucket_cap(spark, tmp_path):
+    """A degenerate bucket ACCUMULATED IN THE STORE (round-4 advice): a new
+    batch hitting it must produce bounded candidates — the store side is
+    capped per bucket — while the new rows still join the big cluster."""
+    import numpy as np
+    import pandas as pd
+
+    from lsh_project_spark.sources.fixtures import IMAGES_SCHEMA
+
+    def mk(ids):
+        n = len(ids)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bytes": [None] * n,
+                    "w": np.int32(8),
+                    "h": np.int32(8),
+                    "fmt": "png",
+                    "caption": "the very same caption text for every row here",
+                    "phash": np.int64(987654321),
+                    "true_cluster_id": np.int64(1),
+                }
+            ),
+            IMAGES_SCHEMA,
+        )
+
+    cfg = PipelineConfig(substring_enabled=False, hot_bucket_threshold=32)
+    inc = IncrementalDedup(spark, str(tmp_path / "state"), cfg)
+    # accumulate a 300-member degenerate bucket in the store
+    inc.process_batch(mk([f"s{i:04d}" for i in range(300)]), 0)
+    pairs_before = inc.verified_pairs().count()
+    # a 20-row batch hitting the same buckets: candidates must stay far
+    # below 20 * 300 per modality (the uncapped cross-join volume)
+    inc.process_batch(mk([f"n{i:04d}" for i in range(20)]), 1)
+    new_pairs = inc.verified_pairs().count() - pairs_before
+    assert new_pairs < 20 * cfg.hot_bucket_threshold * 3, new_pairs
+    asg = inc.assignments()
+    assert asg.count() == 320
+    assert asg.select("cluster_id").distinct().count() == 1
