@@ -475,6 +475,24 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(clips_from_documents(_docs(spark, sf_dir)))
 
 
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode gate: derive deterministic uncompressed-AVI clips
+    (pixels a pure function of (doc_id, frame, y, x, channel) —
+    sources/fixtures.py videos_from_documents), then per-sampled-frame
+    dims + exact pixel sum + mean via the self-built RIFF/AVI codec
+    (operators/multimodal.video_frame_stats, every 3rd frame).  The
+    DuckDB oracle regenerates the identical pixel lattice in SQL; pixel
+    sums are exact integers, so any break in the AVI encode/parse path
+    (row padding, bottom-up order, BGR swap, chunk alignment) shows up
+    as a value mismatch."""
+    from ..operators.multimodal import video_frame_stats
+    from ..sources.fixtures import videos_from_documents
+
+    return video_frame_stats(
+        videos_from_documents(_docs(spark, sf_dir)), every_n=3
+    )
+
+
 QUERIES = {
     "minhash_bands": q_minhash_bands,
     "simhash": q_simhash,
@@ -498,6 +516,7 @@ QUERIES = {
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "image_decode_stats": q_image_decode_stats,
     "audio_features": q_audio_features,
+    "video_frame_stats": q_video_frame_stats,
 }
 
 
@@ -713,6 +732,36 @@ SELECT CAST(doc_id AS VARCHAR) AS clip_id,
          AS zero_crossings
 FROM lagged
 GROUP BY doc_id, n
+""",
+        "video_frame_stats": """
+-- regenerate the deterministic pixel lattice the Spark side decodes from
+-- real uncompressed-AVI bytes (sources/fixtures.py videos_from_documents;
+-- every 3rd frame sampled); pixel sums are exact integers
+WITH vids AS (
+  SELECT doc_id, 6 + doc_id % 5 AS nf,
+         6 + (doc_id % 3) * 5 AS w,
+         4 + (doc_id % 2) * 3 AS h
+  FROM documents
+),
+sampled AS (
+  SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM vids
+),
+px AS (
+  SELECT doc_id, f, w, h,
+         (doc_id * 31 + f * 17 + y * 7 + x * 3 + c * 11) % 256 AS v
+  FROM (
+    SELECT doc_id, f, w, h, unnest(range(0, h)) AS y
+    FROM sampled WHERE f % 3 = 0
+  ) a,
+  LATERAL (SELECT unnest(range(0, w)) AS x) b,
+  LATERAL (SELECT unnest(range(0, 3)) AS c) cc
+)
+SELECT CAST(doc_id AS VARCHAR) AS video_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       round(sum(v) / (w * h * 3.0), 6) AS mean_px
+FROM px GROUP BY doc_id, f, w, h
 """,
         "ann_lsh_topk": _ann_oracle_sql(),
         "cp_multiprobe_buckets": _cp_multiprobe_oracle_sql(),

@@ -287,3 +287,130 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     else:
         raise ValueError(f"unsupported bits: {bits}")
     return s.reshape(-1, ch), rate
+
+
+# ------------------------------------------------------- AVI (uncompressed video)
+# Microsoft's AVI container is RIFF, like WAV; with BI_RGB (uncompressed)
+# 24-bit DIB frames it needs no codec library either: LIST hdrl carries the
+# two struct headers (avih + strh/strf), LIST movi carries one '00db' chunk
+# of raw bottom-up BGR rows (4-byte-aligned) per frame.  ffmpeg produces
+# this exact layout with `-c:v rawvideo -pix_fmt bgr24`.  Same self-built
+# discipline as the PNG and WAV codecs above.
+
+
+def _dib_from_frame(rgb: np.ndarray) -> bytes:
+    """uint8 [h, w, 3] RGB top-down -> BI_RGB DIB bits: bottom-up rows,
+    BGR byte order, each row zero-padded to a 4-byte boundary."""
+    h, w, _ = rgb.shape
+    bgr = rgb[::-1, :, ::-1]  # flip rows bottom-up, swap to BGR
+    row = bgr.reshape(h, w * 3)
+    pad = (-w * 3) % 4
+    if pad:
+        row = np.concatenate(
+            [row, np.zeros((h, pad), dtype=np.uint8)], axis=1
+        )
+    return row.tobytes()
+
+
+def _frame_from_dib(bits: bytes, w: int, h: int) -> np.ndarray:
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(bits[: stride * h], dtype=np.uint8).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()  # bottom-up -> top-down, BGR -> RGB
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """uint8 [nf, h, w, 3] RGB frames -> uncompressed AVI bytes."""
+    nf, h, w, _ = frames.shape
+    frame_bytes = ((w * 3 + 3) & ~3) * h
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        frame_bytes * fps,         # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0x10,                      # dwFlags: AVIF_HASINDEX
+        nf, 0, 1, frame_bytes,     # frames, initial, streams, sugg. buffer
+        w, h, 0, 0, 0, 0,          # width, height, reserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIii4H",
+        b"vids", b"DIB ",          # fccType, fccHandler
+        0, 0, 0, 0,                # flags, priority, language, initial
+        1, fps,                    # dwScale, dwRate (fps = rate/scale)
+        0, nf, frame_bytes,        # start, length, suggested buffer
+        -1, 0,                     # quality, sample size
+        0, 0, w, h,                # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            tag + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) % 2 else b"")
+        )
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    dibs = [_dib_from_frame(np.asarray(f, dtype=np.uint8)) for f in frames]
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            struct.pack(
+                "<4sII I", b"00db", 0x10,  # AVIIF_KEYFRAME
+                4 + sum(8 + len(d) + len(d) % 2 for d in dibs[:i]),
+                len(d),
+            )
+            for i, d in enumerate(dibs)
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes -> (uint8 [nf, h, w, 3] RGB frames, fps).  Walks the RIFF
+    tree (LIST recursion, word alignment, unknown chunks skipped); only
+    BI_RGB 24-bit DIB streams are supported."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    info: dict = {}
+    dibs: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body_at, body_end = pos + 8, pos + 8 + size
+            if tag == b"LIST":
+                walk(buf, body_at + 4, min(body_end, end))
+            elif tag == b"strf":
+                (
+                    _, info["w"], info["h"], _, info["bits"], info["comp"],
+                ) = struct.unpack("<IiiHHI", buf[body_at : body_at + 20])
+            elif tag == b"strh" and buf[body_at : body_at + 4] == b"vids":
+                scale, rate = struct.unpack(
+                    "<II", buf[body_at + 20 : body_at + 28]
+                )
+                info["fps"] = rate // max(scale, 1)
+            elif tag in (b"00db", b"00dc"):
+                dibs.append(buf[body_at:body_end])
+            pos = body_end + size % 2
+
+    walk(data, 12, 8 + struct.unpack("<I", data[4:8])[0])
+    if "w" not in info or not dibs:
+        raise ValueError("missing strf header or frame chunks")
+    if info["comp"] != 0 or info["bits"] != 24:
+        raise ValueError(
+            f"only BI_RGB 24-bit supported, got comp={info['comp']} "
+            f"bits={info['bits']}"
+        )
+    frames = np.stack(
+        [_frame_from_dib(d, info["w"], info["h"]) for d in dibs]
+    )
+    return frames, info.get("fps", 0)

@@ -336,3 +336,40 @@ def clips_from_documents(docs):
     return docs.select("doc_id").mapInPandas(
         gen, schema="clip_id string, bytes binary"
     )
+
+
+def videos_from_documents(docs):
+    """Deterministic uncompressed-AVI clips for the video gate: per
+    document nf = 6 + (doc_id % 5) frames of w = 6 + (doc_id % 3) * 5 by
+    h = 4 + (doc_id % 2) * 3 (widths 6/11/16 exercise all DIB row-padding
+    cases) with px[f, y, x, c] = (doc_id*31 + f*17 + y*7 + x*3 + c*11)
+    % 256 — a rule the DuckDB oracle reproduces exactly in SQL (pixel
+    sums are exact integers), while the Spark side must round-trip real
+    RIFF/AVI bytes through the self-built codec (sources/codecs.py
+    avi_encode/avi_decode)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import avi_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 6 + doc_id % 5
+                w = 6 + (doc_id % 3) * 5
+                h = 4 + (doc_id % 2) * 3
+                f, y, x, c = np.ogrid[0:nf, 0:h, 0:w, 0:3]
+                px = (
+                    (doc_id * 31 + f * 17 + y * 7 + x * 3 + c * 11) % 256
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "video_id": str(doc_id),
+                        "bytes": avi_encode(px, fps=10),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="video_id string, bytes binary"
+    )

@@ -134,3 +134,104 @@ def test_audio_features_matches_direct_computation(spark):
         for r in audio_features(df).collect()
     }
     assert got == expect
+
+
+def test_avi_roundtrip_all_padding_cases():
+    """Encode -> decode is identity across widths that hit every DIB
+    row-padding residue (w*3 % 4 in {0, 1, 2, 3}) and frame counts."""
+    from lsh_project_spark.sources.codecs import avi_decode, avi_encode
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    for w, h, nf, fps in [(6, 4, 3, 10), (11, 7, 5, 25), (16, 4, 1, 30),
+                          (7, 2, 4, 10), (1, 1, 2, 15)]:
+        fr = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+        dec, got_fps = avi_decode(avi_encode(fr, fps))
+        assert dec.shape == fr.shape and got_fps == fps
+        assert np.array_equal(dec, fr), (w, h, nf)
+
+
+def test_avi_layout_is_spec_conformant():
+    """Structural spec checks a third-party RIFF parser would rely on:
+    RIFF/'AVI ' magic, LIST hdrl with a 56-byte avih carrying
+    width/height/frame count, LIST movi with one word-aligned '00db'
+    chunk per frame of exactly stride*h bytes."""
+    import struct
+
+    from lsh_project_spark.sources.codecs import avi_encode
+
+    w, h, nf = 11, 4, 3
+    data = avi_encode(np.zeros((nf, h, w, 3), dtype=np.uint8), fps=10)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    # first child: LIST hdrl, whose first child is avih (56 bytes)
+    assert data[12:16] == b"LIST" and data[20:24] == b"hdrl"
+    assert data[24:28] == b"avih"
+    assert struct.unpack("<I", data[28:32])[0] == 56
+    avih = struct.unpack("<14I", data[32:88])
+    assert (avih[4], avih[8], avih[9]) == (nf, w, h)
+    # movi list holds nf '00db' chunks of stride*h bytes each
+    stride = (w * 3 + 3) & ~3
+    movi_at = data.find(b"movi")
+    assert movi_at > 0
+    pos, seen = movi_at + 4, 0
+    while seen < nf:
+        assert data[pos : pos + 4] == b"00db"
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        assert size == stride * h
+        pos += 8 + size + size % 2
+        seen += 1
+
+
+def test_avi_decode_rejects_compressed():
+    import struct
+
+    from lsh_project_spark.sources.codecs import avi_encode, avi_decode
+
+    data = bytearray(avi_encode(np.zeros((1, 2, 2, 3), dtype=np.uint8)))
+    strf_at = bytes(data).find(b"strf")
+    # biCompression lives 16 bytes into BITMAPINFOHEADER
+    struct.pack_into("<I", data, strf_at + 8 + 16, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="BI_RGB"):
+        avi_decode(bytes(data))
+
+
+def test_video_frame_sample_feeds_image_path(spark):
+    """video_frame_sample emits every n-th frame as real PNG bytes that
+    the image codec decodes back to the original pixels — the video ->
+    image-dedup bridge."""
+    from lsh_project_spark.operators.multimodal import video_frame_sample
+    from lsh_project_spark.sources.codecs import avi_encode, png_decode
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    vids, frames_by_id = [], {}
+    for vid in range(3):
+        nf = 5 + vid
+        fr = rng.integers(0, 256, size=(nf, 6, 11, 3), dtype=np.uint8)
+        frames_by_id[str(vid)] = fr
+        vids.append((str(vid), bytearray(avi_encode(fr, 10))))
+    df = spark.createDataFrame(vids, "video_id string, bytes binary")
+    out = video_frame_sample(df, every_n=2).collect()
+    assert {(r["video_id"], r["frame_idx"]) for r in out} == {
+        (str(v), i) for v in range(3) for i in range(0, 5 + v, 2)
+    }
+    for r in out:
+        px = png_decode(bytes(r["frame_bytes"]))
+        assert np.array_equal(px, frames_by_id[r["video_id"]][r["frame_idx"]])
+
+
+def test_video_frame_stats_matches_direct_computation(spark):
+    from lsh_project_spark.operators.multimodal import video_frame_stats
+    from lsh_project_spark.sources.codecs import avi_encode
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    fr = rng.integers(0, 256, size=(7, 4, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("v", bytearray(avi_encode(fr, 10)))], "video_id string, bytes binary"
+    )
+    got = {r["frame_idx"]: r for r in video_frame_stats(df, every_n=3).collect()}
+    assert set(got) == {0, 3, 6}
+    for idx in (0, 3, 6):
+        s = int(fr[idx].astype(np.int64).sum())
+        r = got[idx]
+        assert (r["w"], r["h"], r["px_sum"]) == (6, 4, s)
+        assert r["mean_px"] == round(s / (6 * 4 * 3), 6)
