@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     # winnow/SA pass or the full-pipeline+CC path is visible round-over-round
     "substring_pairs",
     "dedup_cluster_sizes",
+    "embedding_near_dup",
 ]
 
 

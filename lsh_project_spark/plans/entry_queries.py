@@ -355,6 +355,45 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_portable(e, q, k=5, num_tables=8)
 
 
+def _emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table augmented with deterministic planted near-dups:
+    every vec_id % 7 == 0 gains a perturbed twin at vec_id + 1_000_000.
+    The perturbation is a pure integer-derived expression — coord i moves
+    by ((vec_id*31 + i) % 11 - 5) / 250, i.e. <= 0.02 on unit vectors, so
+    cos(v, twin) >= 0.99 while random 64-dim pairs stay <= ~0.6 — and both
+    engines (Spark / DuckDB) reconstruct the identical doubles, making the
+    near-dup gate hash-exact end to end."""
+    e = _emb(spark, sf_dir)
+    base = e.select(
+        F.expr("cast(vec_id as bigint)").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"),
+    )
+    planted = e.filter("vec_id % 7 = 0").select(
+        F.expr("cast(vec_id + 1000000 as bigint)").alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double) + "
+            "(cast((vec_id * 31 + i) % 11 as double) - 5.0D) / 250.0D)"
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.85, id_a < id_b)
+    over the planted-twin table — the dedup-by-embedding modality.
+    Candidates come from portable sign-LSH buckets (equi-join, never a
+    cross join); the DuckDB oracle re-derives the same buckets and the
+    same planted doubles bit-exactly, so the accept SET is gated
+    hash-exactly.  The 0.85 threshold sits in a wide margin: planted
+    twins >= 0.99, random pairs <= ~0.6."""
+    from ..operators.similarity import near_dup_pairs
+
+    aug = _emb_near_dup(spark, sf_dir)
+    return near_dup_pairs(aug, threshold=0.85, num_tables=8).orderBy(
+        "id_a", "id_b")
+
+
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline (multimodal signatures -> candidates -> exact
     verify -> OR-union with the substring modality -> connected components)
@@ -512,6 +551,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "substring_pairs": q_substring_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "cp_multiprobe_buckets": q_cp_multiprobe_buckets,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "image_decode_stats": q_image_decode_stats,
@@ -764,6 +804,7 @@ SELECT CAST(doc_id AS VARCHAR) AS video_id,
 FROM px GROUP BY doc_id, f, w, h
 """,
         "ann_lsh_topk": _ann_oracle_sql(),
+        "embedding_near_dup": _near_dup_oracle_sql(),
         "cp_multiprobe_buckets": _cp_multiprobe_oracle_sql(),
         "substring_pairs": """
 -- exact oracle for the winnowing + suffix-array pass: two docs pair iff
@@ -826,6 +867,14 @@ def _ann_oracle_sql() -> str:
 
     planes = rademacher_planes(ANN_SEED, num_tables=8, max_bits=ANN_MAX_BITS, dim=64)
     return duckdb_ann_topk_sql(planes, k=5, dim=64, query_mod=50)
+
+
+def _near_dup_oracle_sql() -> str:
+    from ..operators.similarity import ANN_MAX_BITS, ANN_SEED, rademacher_planes
+    from .sql_oracle import duckdb_near_dup_sql
+
+    planes = rademacher_planes(ANN_SEED, num_tables=8, max_bits=ANN_MAX_BITS, dim=64)
+    return duckdb_near_dup_sql(planes, dim=64, threshold=0.85)
 
 
 def _lang_markers_values() -> str:

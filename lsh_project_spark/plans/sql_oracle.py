@@ -241,6 +241,74 @@ SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
 """
 
 
+def duckdb_near_dup_sql(
+    planes: list[list[str]], dim: int = 64, threshold: float = 0.85,
+    plant_mod: int = 7, plant_offset: int = 1_000_000,
+    target_bucket: int = 8,
+) -> str:
+    """DuckDB twin of operators/similarity.near_dup_pairs over the
+    planted-twin embeddings table (plans/entry_queries._emb_near_dup):
+    identical integer-derived perturbation doubles, identical '+/-'
+    hyperplane literals and bits-from-count formula, candidate pairs from
+    shared (table, bucket), exact cosine accept at ``threshold``.  The
+    threshold decision has a wide margin on both engines (planted twins
+    >= 0.99, random pairs <= ~0.6), so fold-order float differences
+    cannot flip it."""
+    hp_rows = ", ".join(
+        f"({t}, {j}, '{s}')"
+        for t, tbl in enumerate(planes)
+        for j, s in enumerate(tbl)
+    )
+    return f"""
+WITH aug AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         [CAST(embedding[i + 1] AS DOUBLE) for i in range(0, {dim})]
+           AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id + {plant_offset} AS BIGINT),
+         [CAST(embedding[i + 1] AS DOUBLE)
+            + (CAST((vec_id * 31 + i) % 11 AS DOUBLE) - 5.0) / 250.0
+          for i in range(0, {dim})]
+  FROM embeddings WHERE vec_id % {plant_mod} = 0
+),
+params AS (
+  SELECT GREATEST(4, length(bin(CAST((count(*) - 1) // {target_bucket}
+                                 AS BIGINT)))) AS bits
+  FROM aug
+),
+hp(t, j, s) AS (SELECT * FROM (VALUES {hp_rows})),
+sig AS (
+  SELECT e.vec_id, h.t AS table_idx,
+         CAST(sum(CASE WHEN list_sum([
+             CASE WHEN substring(h.s, i + 1, 1) = '+'
+                  THEN e.embedding[i + 1]
+                  ELSE -e.embedding[i + 1] END
+             for i in range(0, {dim})]) > 0
+           THEN (CAST(1 AS BIGINT) << h.j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM aug e CROSS JOIN hp h
+  WHERE h.j < (SELECT bits FROM params)
+  GROUP BY e.vec_id, h.t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(ea.embedding, eb.embedding)
+           / (sqrt(list_dot_product(ea.embedding, ea.embedding))
+              * sqrt(list_dot_product(eb.embedding, eb.embedding))) AS cos
+  FROM cand c
+  JOIN aug ea ON ea.vec_id = c.id_a
+  JOIN aug eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b FROM scored WHERE cos >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def duckdb_cp_multiprobe_sql(rot, d: int = 8) -> str:
     """DuckDB twin of the margin-ranked single-swap multi-probe sequence
     (operators/signatures.cp_multiprobe_signature_table) at L=2, k=2,

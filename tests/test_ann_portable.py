@@ -83,3 +83,55 @@ def test_ann_portable_planted_recall(spark, vec_fixture):
     res = ann_topk_portable(df, qdf, k=5, num_tables=8).collect()
     hit = {r["query_id"] for r in res if r["neighbor_id"] == planted[r["query_id"]]}
     assert len(hit) / 50 >= 0.9, len(hit) / 50
+
+
+def test_near_dup_pairs_planted_exact(spark):
+    """near_dup_pairs finds exactly the planted twin pairs: the accept set
+    equals an independent numpy brute-force cosine>=threshold oracle."""
+    from itertools import combinations
+
+    from lsh_project_spark.operators.similarity import near_dup_pairs
+
+    rng = np.random.Generator(np.random.PCG64(1234))
+    n, d = 300, 64
+    base = rng.normal(size=(n, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].astype(float).tolist()) for i in range(n)]
+    # twins: every 6th vector gets a small-perturbation copy at id+10000
+    twin_ids = []
+    vecs = {i: base[i] for i in range(n)}
+    for i in range(0, n, 6):
+        tv = base[i] + rng.normal(scale=0.01, size=d)
+        rows.append((i + 10_000, tv.astype(float).tolist()))
+        vecs[i + 10_000] = tv
+        twin_ids.append(i)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {(r["id_a"], r["id_b"])
+           for r in near_dup_pairs(df, threshold=0.85, dim=d).collect()}
+
+    # independent oracle: brute-force float64 cosine over all pairs
+    want = set()
+    for a, b in combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        cos = float(np.dot(va, vb) /
+                    (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if cos >= 0.85:
+            want.add((a, b))
+    assert want == {(i, i + 10_000) for i in twin_ids}  # fixture sanity
+    assert got == want
+
+
+def test_near_dup_pairs_no_false_accepts_below_threshold(spark):
+    """Random unit vectors (max pairwise cos << threshold) yield no pairs."""
+    from lsh_project_spark.operators.similarity import near_dup_pairs
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    n, d = 200, 64
+    v = rng.normal(size=(n, d))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, v[i].astype(float).tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    assert near_dup_pairs(df, threshold=0.85, dim=d).count() == 0
