@@ -290,37 +290,38 @@ def near_dup_pairs(
     vectors: DataFrame, threshold: float = 0.85, num_tables: int = 8,
     bits: int | None = None, id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int = 64, n: int | None = None,
+    hot_bucket_threshold: int = 2000, salt_groups: int = 16,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
     cosine(a, b) >= threshold, found via sign-LSH bucketing — never a
     cross join.  The dedup analog of the reference's query path
     (/root/reference/src/main.cc:115-160: probe buckets, verify exact):
-    candidates come from a shared (table, bucket) equi-join over
-    ``portable_signatures``; the exact cosine verify runs only on
-    candidates.
+    candidates come from ``operators.candidates.candidate_pairs`` over the
+    portable sign buckets — ONE salted shuffle, and a bucket larger than
+    ``hot_bucket_threshold`` contributes chained-star edges (O(n), exact
+    drop accounting via ``drop_stats``) instead of C(n,2) all-pairs, the
+    same skew defense as the image pipeline; the exact cosine verify runs
+    only on candidates (star edges below ``threshold`` are dropped — for
+    dedup semantics feed the output to connected_components, where the
+    star hub keeps a mutual-dup bucket one component).
 
     Scale: ``bits`` defaults to auto_bits(n), holding expected bucket
     occupancy ~constant as the corpus grows, so candidate count tracks
-    true near-duplicate density, not n^2.  A cluster of m mutual
-    near-dups legitimately yields C(m,2) pairs; feed the output to
-    ``operators.cluster.connected_components`` when only the partition
-    matters.  Hashing is cross-engine portable (Rademacher '+/-' plane
-    literals, sequential-fold double dots) so a SQL oracle can reproduce
-    the candidate set bit-exactly."""
+    true near-duplicate density, not n^2.  Hashing is cross-engine
+    portable (Rademacher '+/-' plane literals, sequential-fold double
+    dots) so a SQL oracle can reproduce the candidate set bit-exactly."""
+    from .candidates import candidate_pairs
+
     if bits is None:
         bits = auto_bits(n if n is not None else vectors.count())
     planes = rademacher_planes(ANN_SEED, num_tables, ANN_MAX_BITS, dim)
     sig = portable_signatures(vectors, planes, bits, id_col, vec_col, dim)
-    cands = (
-        sig.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
-        .join(
-            sig.select(F.col(id_col).alias("id_b"), "table_idx", "bucket"),
-            ["table_idx", "bucket"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cands = candidate_pairs(
+        sig, id_col=id_col, bucket_cols=("table_idx", "bucket"),
+        hot_bucket_threshold=hot_bucket_threshold, salt_groups=salt_groups,
+        drop_stats=drop_stats,
+    ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
     dot = (
         "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * "
         "cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"

@@ -135,3 +135,53 @@ def test_near_dup_pairs_no_false_accepts_below_threshold(spark):
         "vec_id long, embedding array<float>",
     )
     assert near_dup_pairs(df, threshold=0.85, dim=d).count() == 0
+
+
+def test_near_dup_pairs_hot_bucket_star_defense(spark):
+    """A degenerate bucket (60 identical vectors) emits O(n) star edges,
+    not C(n,2); drop accounting is exact; the bucket stays one connected
+    component; and cold pairs are unaffected."""
+    from lsh_project_spark.operators.similarity import near_dup_pairs
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    d = 64
+    hot_v = rng.normal(size=d)
+    hot_v /= np.linalg.norm(hot_v)
+    rows = [(i, hot_v.astype(float).tolist()) for i in range(60)]
+    # one cold planted pair far from the hot cluster
+    a = rng.normal(size=d); a /= np.linalg.norm(a)
+    rows.append((1000, a.astype(float).tolist()))
+    rows.append((1001, (a + rng.normal(scale=0.01, size=d))
+                 .astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    stats: dict = {}
+    # bits=16 so the two cold vectors can't land in the hot bucket
+    # (2^-16/table) — keeps the per-bucket drop count exactly n=60
+    pairs = near_dup_pairs(
+        df, threshold=0.85, dim=d, bits=16, hot_bucket_threshold=10,
+        salt_groups=4, drop_stats=stats,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # identical vectors: every emitted star edge has cos == 1 >= threshold;
+    # hot bucket contributes exactly n-1 = 59 edges per its bucket (same
+    # (table,bucket) in all 8 tables dedups to one edge set)
+    hot_edges = {(x, y) for (x, y) in got if x < 60 and y < 60}
+    assert len(hot_edges) < 60 * 59 / 2  # star, not all-pairs
+    # one component: union-find over the emitted edges connects all 60
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in hot_edges:
+        parent[find(x)] = find(y)
+    assert len({find(i) for i in range(60)}) == 1
+    assert (1000, 1001) in got
+    st = stats["df"].collect()[0].asDict()
+    assert st["hot_buckets"] >= 1
+    # per hot bucket of n members exactly C(n,2)-(n-1) pairs are dropped
+    assert st["pairs_dropped"] == st["hot_buckets"] * (60 * 59 // 2 - 59)
