@@ -107,10 +107,16 @@ class SnapshotTable:
             }))
         data_dir = os.path.join(self.root, f"snap-{sid:05d}")
         obs = Observation(f"snapshot-commit-{sid}")
-        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite"
-        ).parquet(data_dir)
-        rows = obs.get["rows"]
+        try:
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(data_dir)
+            rows = obs.get["rows"]
+        except Exception:
+            # a failed WRITE (not a crash) must release the claim, or every
+            # retry of this sid would see a spurious "already claimed"
+            os.unlink(claim)
+            raise
         # re-validate the parent at flip time: the claim makes this
         # unreachable for same-parent racers, but it keeps the invariant
         # explicit (and catches a manually-edited metadata.json)

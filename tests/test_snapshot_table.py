@@ -115,3 +115,15 @@ def test_commit_rows_come_from_write_job(spark, tmp_path):
     df = spark.range(0, 1234).selectExpr("id", "id * 2 AS v")
     t.commit(df)
     assert t.snapshots()[0]["rows"] == 1234
+
+
+def test_failed_write_releases_claim(spark, tmp_path):
+    """A commit whose WRITE job fails must release its claim sentinel so a
+    retry of the same snapshot id is not spuriously rejected."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    bad = spark.range(0, 4).selectExpr("assert_true(id < 2) AS boom", "id")
+    with pytest.raises(Exception):
+        t.commit(bad, note="fails mid-write")
+    assert t.current_id() is None
+    sid = t.commit(spark.createDataFrame([(1,)], "id long"), note="retry")
+    assert sid == 1 and t.snapshots()[0]["rows"] == 1
