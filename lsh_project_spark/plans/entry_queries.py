@@ -254,16 +254,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup via the SAME transformation the streaming path runs
+    (streaming/windowed.windowed_event_counts) — one definition, two
+    execution modes; the watermark is a no-op in a batch plan."""
+    from ..streaming.windowed import windowed_event_counts
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        ev.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"), "event_type"
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.expr("round(sum(value), 4)").alias("sum_value"),
-        )
-    )
+    return windowed_event_counts(ev)
 
 
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
