@@ -352,6 +352,43 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_portable(e, q, k=5, num_tables=8)
 
 
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style context packing (concatenate corpus in doc_id order,
+    chunk into 256-token windows): per document, the inclusive chunk
+    range it occupies.  Runs the distributed prefix scan
+    (operators/packing.py); the DuckDB oracle is one running sum — the
+    gate pins that the two-phase scan equals the global scan exactly."""
+    from ..operators.packing import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), ctx_len=256).orderBy(
+        "doc_id")
+
+
+SAMPLE_RATES = {"en": 0.25, "es": 1.0, "de": 0.5, "fr": 0.1}
+SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus assembly after dedup: stratified-sample documents by
+    predicted language (per-language rates), then hash-split the sample
+    into train/val/test — both selections pure functions of
+    hash62(salt || doc_id), so they are partition-independent, stable
+    under corpus growth, and reproduced bit-exactly by the DuckDB oracle
+    (the gate pins the sampled SET and every split label, not just
+    counts)."""
+    from ..operators.sampling import hash_split, stratified_sample
+    from ..operators.text import lang_id
+
+    docs = _docs(spark, sf_dir)
+    tagged = docs.select("doc_id").join(lang_id(docs), "doc_id")
+    sampled = stratified_sample(tagged, SAMPLE_RATES, "lang_pred", "doc_id")
+    return (
+        hash_split(sampled, SPLIT_FRACS, "doc_id")
+        .select("doc_id", "lang_pred", "split")
+        .orderBy("doc_id")
+    )
+
+
 def _emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings table augmented with deterministic planted near-dups:
     every vec_id % 7 == 0 gains a perturbed twin at vec_id + 1_000_000.
@@ -541,6 +578,8 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "stratified_sample": q_stratified_sample,
+    "doc_packing": q_doc_packing,
     "doc_fingerprint": q_doc_fingerprint,
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
@@ -687,6 +726,22 @@ scored AS (
 SELECT doc_id,
        struct_extract(max({{'score': score, 'lang': lang}}), 'lang') AS lang_pred
 FROM scored GROUP BY doc_id
+""",
+        "stratified_sample": _stratified_sample_oracle_sql(),
+        "doc_packing": """
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id) AS end_sum
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST((end_sum - n_tokens) // 256 AS BIGINT) AS first_chunk,
+       CAST((end_sum - 1) // 256 AS BIGINT) AS last_chunk
+FROM c ORDER BY doc_id
 """,
         "doc_fingerprint": f"""
 WITH {_SHINGLE_CTE_FULL},
@@ -864,6 +919,45 @@ def _ann_oracle_sql() -> str:
 
     planes = rademacher_planes(ANN_SEED, num_tables=8, max_bits=ANN_MAX_BITS, dim=64)
     return duckdb_ann_topk_sql(planes, k=5, dim=64, query_mod=50)
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from ..operators.sampling import DENOM, duckdb_bucket_sql
+
+    sample_bucket = duckdb_bucket_sql("doc_id", "sample")
+    split_bucket = duckdb_bucket_sql("doc_id", "split")
+    rate_arms = " ".join(
+        f"WHEN lang_pred = '{s}' THEN {int(round(r * DENOM))}"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    cum, split_arms = 0.0, []
+    names = list(SPLIT_FRACS)
+    for name in names[:-1]:
+        cum += SPLIT_FRACS[name]
+        split_arms.append(
+            f"WHEN {split_bucket} < {int(round(cum * DENOM))} THEN '{name}'"
+        )
+    split_case = "CASE " + " ".join(split_arms) + f" ELSE '{names[-1]}' END"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+scored AS (
+  SELECT doc_id, m.lang,
+         len(list_filter(t, x -> list_contains(m.words, x))) AS score
+  FROM toks CROSS JOIN (VALUES {_lang_markers_values()}) m(lang, words)
+),
+langs AS (
+  SELECT doc_id,
+         struct_extract(max({{'score': score, 'lang': lang}}), 'lang')
+           AS lang_pred
+  FROM scored GROUP BY doc_id
+),
+sampled AS (
+  SELECT doc_id, lang_pred FROM langs
+  WHERE ({sample_bucket}) < (CASE {rate_arms} ELSE 0 END)
+)
+SELECT doc_id, lang_pred, {split_case} AS split
+FROM sampled ORDER BY doc_id
+"""
 
 
 def _near_dup_oracle_sql() -> str:
