@@ -115,3 +115,77 @@ def shingle_expr_sql(text_col: str, k: int) -> str:
         f"else array_distinct(transform(sequence(0, size({toks}) - {k}), "
         f"i -> concat_ws(' ', slice({toks}, i + 1, {k})))) end"
     )
+
+
+def _grams_expr(text_col: str, k: int) -> str:
+    """Positional (non-distinct) word k-grams as a string array, empty when
+    the document is shorter than k tokens."""
+    toks = f"split({text_col}, ' ')"
+    return (
+        f"case when size({toks}) < {k} then array() "
+        f"else transform(sequence(0, size({toks}) - {k}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {k}))) end"
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style (Rae et al. '21 §A1.1) intra-document repetition
+    filters, token-denominated: the occupancy of the most frequent word
+    2-gram and the fraction of 5-gram positions that are duplicates.
+    Training pipelines drop documents above thresholds on these (boiler-
+    plate, keyword stuffing, generation loops).
+
+    Both statistics are computed INSIDE one row via array_sort + a
+    run-length fold — a pure JVM projection with zero shuffle, so the pass
+    is an embarrassingly-parallel scan at any corpus size (no per-gram
+    explode/groupBy; the gram space never leaves the row)."""
+    runs2 = (
+        "aggregate(array_sort(g2), named_struct("
+        "'prev', cast(null as string), 'run', cast(0 as bigint), "
+        "'best', cast(0 as bigint)), "
+        "(a, x) -> named_struct('prev', x, "
+        "'run', case when x <=> a.prev then a.run + 1 else cast(1 as bigint) end, "
+        "'best', greatest(a.best, case when x <=> a.prev then a.run + 1 "
+        "else cast(1 as bigint) end)), a -> a.best)"
+    )
+    dup5 = (
+        "aggregate(array_sort(g5), named_struct("
+        "'prev', cast(null as string), 'run', cast(0 as bigint), "
+        "'dup', cast(0 as bigint)), "
+        "(a, x) -> named_struct('prev', x, "
+        "'run', case when x <=> a.prev then a.run + 1 else cast(1 as bigint) end, "
+        "'dup', a.dup + case when x <=> a.prev then "
+        "(case when a.run = 1 then cast(2 as bigint) else cast(1 as bigint) end) "
+        "else cast(0 as bigint) end), a -> a.dup)"
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
+            F.expr(_grams_expr(text_col, 2)).alias("g2"),
+            F.expr(_grams_expr(text_col, 5)).alias("g5"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(runs2).alias("top_2gram_count"),
+            F.expr(dup5).alias("dup_5gram_positions"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "top_2gram_count",
+            "dup_5gram_positions",
+            F.expr(
+                "case when n_tokens >= 2 then top_2gram_count * 2.0 / n_tokens "
+                "else cast(0 as double) end"
+            ).alias("top_2gram_frac"),
+            F.expr(
+                "case when n_tokens >= 5 then "
+                "dup_5gram_positions / cast(n_tokens - 4 as double) "
+                "else cast(0 as double) end"
+            ).alias("dup_5gram_frac"),
+        )
+    )

@@ -250,6 +250,29 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters (top-2-gram occupancy
+    + duplicate-5-gram fraction), computed inside the row via array_sort +
+    run-length fold — zero-shuffle JVM projection; the oracle recomputes
+    the same statistics the relational way (unnest + group)."""
+    from ..operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 8-gram with
+    the held-out 'benchmark' slice (every doc_id % 23 == 0 — the slice
+    itself is in-corpus, so the gate is non-vacuous by construction, and
+    any genuine near-dup of a benchmark doc is flagged too).  The
+    benchmark gram set is broadcast; the corpus is scanned once."""
+    from ..operators.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter("doc_id % 23 = 0")
+    return decontaminate(docs, bench, n=8).orderBy("doc_id")
+
+
 # ------------------------------------------------- relational / events
 
 
@@ -580,6 +603,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "stratified_sample": q_stratified_sample,
     "doc_packing": q_doc_packing,
+    "repetition_stats": q_repetition_stats,
+    "decontam_flags": q_decontam_flags,
     "doc_fingerprint": q_doc_fingerprint,
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
@@ -728,6 +753,47 @@ SELECT doc_id,
 FROM scored GROUP BY doc_id
 """,
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "repetition_stats": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+       FROM toks, UNNEST(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+m2 AS (SELECT doc_id, max(c) AS top2 FROM c2 GROUP BY doc_id),
+g5 AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+       FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i) WHERE len(t) >= 5),
+c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+d5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5
+       FROM c5 GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(m2.top2, 0) AS BIGINT) AS top_2gram_count,
+       CAST(coalesce(d5.dup5, 0) AS BIGINT) AS dup_5gram_positions,
+       CASE WHEN b.n_tokens >= 2
+            THEN CAST(coalesce(m2.top2, 0) AS BIGINT) * 2.0 / b.n_tokens
+            ELSE 0.0 END AS top_2gram_frac,
+       CASE WHEN b.n_tokens >= 5
+            THEN CAST(coalesce(d5.dup5, 0) AS BIGINT)
+                 / CAST(b.n_tokens - 4 AS DOUBLE)
+            ELSE 0.0 END AS dup_5gram_frac
+FROM base b LEFT JOIN m2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+ORDER BY b.doc_id
+""",
+        "decontam_flags": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bgrams AS (
+  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
+  WHERE doc_id % 23 = 0 AND len(t) >= 8
+),
+dgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
+  WHERE len(t) >= 8
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+FROM dgrams d JOIN bgrams b USING (gram)
+GROUP BY d.doc_id ORDER BY d.doc_id
+""",
         "doc_packing": """
 WITH toks AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
