@@ -375,6 +375,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_portable(e, q, k=5, num_tables=8)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-5 for the same query set as ann_lsh_topk:
+    codebook fit with deterministic Lloyd iterations on the hash-selected
+    bounded sample (at sf0.01 the stride is 1, so the fit is over the full
+    id-sorted table — bit-identical to the oracle's pyarrow-side fit),
+    nearest-list assignment as one JVM fold (a projection, no shuffle),
+    probes broadcast into a list_id equi-join, exact cosine re-rank."""
+    from ..operators.ivf import ivf_fit_centroids, ivf_topk
+
+    e = _emb(spark, sf_dir)
+    cents = ivf_fit_centroids(e, n_lists=16, iters=8)
+    q = e.filter(F.expr("vec_id % 50 = 0")).withColumnRenamed(
+        "vec_id", "query_id")
+    return ivf_topk(e, q, cents, k=5, nprobe=4)
+
+
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style context packing (concatenate corpus in doc_id order,
     chunk into 256-token windows): per document, the inclusive chunk
@@ -612,6 +628,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "substring_pairs": q_substring_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "cp_multiprobe_buckets": q_cp_multiprobe_buckets,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -922,6 +939,7 @@ SELECT CAST(doc_id AS VARCHAR) AS video_id,
 FROM px GROUP BY doc_id, f, w, h
 """,
         "ann_lsh_topk": _ann_oracle_sql(),
+        "ivf_topk": _ivf_oracle_sql(),
         "embedding_near_dup": _near_dup_oracle_sql(),
         "cp_multiprobe_buckets": _cp_multiprobe_oracle_sql(),
         "substring_pairs": """
@@ -977,6 +995,25 @@ def _cp_multiprobe_oracle_sql() -> str:
     from .sql_oracle import duckdb_cp_multiprobe_sql
 
     return duckdb_cp_multiprobe_sql(_mp_rot(), d=8)
+
+
+def _ivf_oracle_sql() -> str:
+    """Centroids re-fit from the canonical sf0.01 parquet via pyarrow --
+    the same id-sorted full-table sample the Spark query's
+    ivf_fit_centroids collects at sf0.01 (stride 1), so both engines
+    search with bit-identical codebook literals."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..operators.ivf import duckdb_ivf_topk_sql, ivf_fit
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).to_pandas().sort_values("vec_id")
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    cents = ivf_fit(X, n_lists=16, iters=8)
+    return duckdb_ivf_topk_sql(cents, k=5, nprobe=4, query_mod=50)
 
 
 def _ann_oracle_sql() -> str:
