@@ -50,6 +50,14 @@ BENCH_QUERIES = [
     "substring_pairs",
     "dedup_cluster_sizes",
     "embedding_near_dup",
+    # training-data curation + the IVF scale path (round 5): cheap, but
+    # benched so plan regressions (a lost broadcast, a new shuffle in the
+    # fold-expression passes) surface as wall-time jumps
+    "ivf_topk",
+    "repetition_stats",
+    "decontam_flags",
+    "stratified_sample",
+    "doc_packing",
 ]
 
 
