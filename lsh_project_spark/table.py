@@ -142,6 +142,76 @@ class SnapshotTable:
         os.replace(tmp, self._meta_path())  # atomic pointer flip
         return sid
 
+    # ---------------------------------------------------------- maintenance
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Iceberg's ``expire_snapshots``: drop all but the most recent
+        ``keep_last`` snapshots from the history and delete their data
+        directories.  The current snapshot is always kept.  Returns the
+        expired snapshot ids; time travel to an expired id raises.
+
+        Metadata is rewritten with the same atomic ``os.replace`` flip as
+        commit, and data dirs are deleted only AFTER the flip — a reader
+        holding the old metadata could still resolve paths that are gone,
+        which is exactly Iceberg's documented expire semantics (expire
+        breaks time travel to expired snapshots; concurrent readers must
+        pin snapshots they still need via ``keep_last``)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (current is always kept)")
+        meta = self._load_meta()
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        if meta["current"] not in {s["id"] for s in kept}:
+            raise ValueError(
+                f"{self.root}: current snapshot {meta['current']} is not in "
+                f"the {keep_last} most recent — refuse to expire it"
+            )
+        new_meta = {"current": meta["current"], "snapshots": kept}
+        tmp = self._meta_path() + ".tmp-expire"
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._meta_path())
+        import shutil
+
+        for s in expired:
+            shutil.rmtree(s["path"], ignore_errors=True)
+            claim = os.path.join(self.root, f"claim-{s['id']:05d}")
+            if os.path.exists(claim):
+                os.unlink(claim)
+        return [s["id"] for s in expired]
+
+    def remove_orphans(self) -> list[str]:
+        """Iceberg's ``remove_orphan_files``: delete ``snap-*`` data
+        directories not referenced by any snapshot in the metadata log
+        (crashed writers that claimed an id and wrote data but never
+        flipped the pointer) plus claim sentinels for ids at or below
+        current (those commits completed; their claims are spent).  A
+        claim ABOVE current is left alone — it may be an in-flight
+        writer.  Returns the removed paths."""
+        import shutil
+
+        meta = self._load_meta()
+        referenced = {s["path"] for s in meta["snapshots"]}
+        current = meta["current"] or 0
+        removed: list[str] = []
+        for name in sorted(os.listdir(self.root)):
+            full = os.path.join(self.root, name)
+            if name.startswith("snap-") and os.path.isdir(full):
+                if full not in referenced:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
+            elif name.startswith("claim-"):
+                try:
+                    sid = int(name.split("-", 1)[1])
+                except ValueError:
+                    continue
+                if sid <= current:
+                    os.unlink(full)
+                    removed.append(full)
+        return removed
+
     # ----------------------------------------------------------------- read
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:

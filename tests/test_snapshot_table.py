@@ -127,3 +127,49 @@ def test_failed_write_releases_claim(spark, tmp_path):
     assert t.current_id() is None
     sid = t.commit(spark.createDataFrame([(1,)], "id long"), note="retry")
     assert sid == 1 and t.snapshots()[0]["rows"] == 1
+
+
+def test_expire_snapshots_keeps_current_drops_history(spark, tmp_path):
+    """Iceberg expire_snapshots semantics: history trimmed to keep_last,
+    expired data dirs deleted, time travel to expired ids raises, current
+    read unaffected."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(4):
+        t.commit(spark.createDataFrame([(i,)], "id long"), note=f"c{i}")
+    expired_paths = [s["path"] for s in t.snapshots()[:2]]
+    assert t.expire_snapshots(keep_last=2) == [1, 2]
+    assert [s["id"] for s in t.snapshots()] == [3, 4]
+    assert t.current_id() == 4
+    assert [r["id"] for r in t.read().collect()] == [3]
+    assert [r["id"] for r in t.read(snapshot_id=3).collect()] == [2]
+    for p in expired_paths:
+        assert not os.path.exists(p)
+    with pytest.raises(ValueError, match="not found"):
+        t.read(snapshot_id=1)
+    # idempotent: nothing left to expire at keep_last=2
+    assert t.expire_snapshots(keep_last=2) == []
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+
+
+def test_remove_orphans_spares_inflight_claim(spark, tmp_path):
+    """remove_orphan_files semantics: unreferenced snap dirs (crashed
+    writers) and spent claims go; a claim above current (possible
+    in-flight writer) stays; referenced data stays readable."""
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root)
+    t.commit(spark.createDataFrame([(1,)], "id long"))
+    t.commit(spark.createDataFrame([(2,)], "id long"))
+    # crashed writer: claimed sid 3, wrote data, never flipped the pointer
+    open(os.path.join(root, "claim-00003"), "w").write("{}")
+    spark.createDataFrame([(99,)], "id long").write.parquet(
+        os.path.join(root, "snap-00003")
+    )
+    removed = t.remove_orphans()
+    # spent claims (1, 2) and the orphan dir went; in-flight claim-00003 stays
+    assert os.path.join(root, "snap-00003") in removed
+    assert os.path.join(root, "claim-00001") in removed
+    assert not os.path.exists(os.path.join(root, "snap-00003"))
+    assert os.path.exists(os.path.join(root, "claim-00003"))
+    assert t.current_id() == 2
+    assert [r["id"] for r in t.read().collect()] == [2]
