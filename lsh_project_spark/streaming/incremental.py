@@ -37,6 +37,10 @@ Store layout (the 100 TB shape):
 - every ``compact_every`` batches each store is rewritten (one file per
   partition, duplicates dropped) so the per-partition file count — and
   with it planning/open cost — stays bounded as batches accumulate.
+- optional snapshot sink (``pairs_table_root``): verified pairs are
+  committed per micro-batch as APPEND snapshots of a versioned table
+  (table.py) — O(new pairs) per commit, batch-id-stamped for exactly-once
+  under foreachBatch retries, time travel to any micro-batch boundary.
 """
 
 from __future__ import annotations
@@ -102,12 +106,24 @@ class IncrementalDedup:
         cfg: PipelineConfig | None = None,
         num_store_partitions: int = 64,
         compact_every: int = 16,
+        pairs_table_root: str | None = None,
     ):
         self.spark = spark
         self.cfg = cfg or PipelineConfig()
         self.state_dir = state_dir
         self.P = num_store_partitions
         self.compact_every = compact_every
+        # optional snapshot-versioned sink for the verified pairs: one
+        # APPEND commit per micro-batch (manifest references prior delta
+        # dirs, so commit cost is O(new pairs)), batch-id-stamped so a
+        # foreachBatch retry cannot double-append — the Iceberg streaming
+        # -sink contract (table.py commit_append).  Readers get time
+        # travel across micro-batches for free.
+        self.pairs_table = None
+        if pairs_table_root is not None:
+            from ..table import SnapshotTable
+
+            self.pairs_table = SnapshotTable(spark, pairs_table_root)
         self._batches_since_compact = 0
         self.store_path = os.path.join(state_dir, "profile_store")
         self.sig_store_path = os.path.join(state_dir, "sig_store")
@@ -244,7 +260,12 @@ class IncrementalDedup:
         if cfg.substring_enabled:
             pairs, new_fps = self._substring_batch(batch_df, pairs)
         pairs = pairs.persist()
-        pairs.write.mode("append").parquet(self.pairs_path)
+        if self.pairs_table is not None:
+            self.pairs_table.commit_append(
+                pairs, note=f"micro-batch {batch_id}", batch_id=batch_id
+            )
+        else:
+            pairs.write.mode("append").parquet(self.pairs_path)
         self._update_assignments(
             new_profile.select("image_id"), pairs
         )
@@ -540,8 +561,14 @@ class IncrementalDedup:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
-    def verified_pairs(self) -> DataFrame:
-        df = self.spark.read.parquet(self.pairs_path)
+    def verified_pairs(self, snapshot_id: int | None = None) -> DataFrame:
+        """All verified pairs; with the snapshot sink enabled,
+        ``snapshot_id`` time-travels to the pairs as of that micro-batch's
+        commit."""
+        if self.pairs_table is not None:
+            df = self.pairs_table.read(snapshot_id)
+        else:
+            df = self.spark.read.parquet(self.pairs_path)
         return df.dropDuplicates(["a", "b"])
 
     def assignments(self) -> DataFrame:

@@ -67,11 +67,18 @@ class SnapshotTable:
     def current_id(self) -> int | None:
         return self._load_meta()["current"]
 
+    @staticmethod
+    def _dirs_of(snap: dict) -> list[str]:
+        """Data directories a snapshot's manifest references (pre-append
+        metadata carried only ``path``)."""
+        return snap.get("dirs", [snap["path"]])
+
     # --------------------------------------------------------------- commit
 
     def commit(self, df: DataFrame, note: str = "") -> int:
-        """Write ``df`` as the next snapshot and atomically make it current.
-        Returns the new snapshot id.
+        """Write ``df`` as the next snapshot (FULL rewrite — the snapshot's
+        manifest references only the new data dir) and atomically make it
+        current.  Returns the new snapshot id.
 
         Optimistic concurrency (Iceberg's commit semantics): the snapshot
         id is CLAIMED via an O_EXCL sentinel file before any data is
@@ -87,6 +94,33 @@ class SnapshotTable:
 
         The row count comes from the WRITE job itself (``Observation``),
         not a second read of the freshly written Parquet."""
+        return self._commit(df, note=note, append=False, batch_id=None)
+
+    def commit_append(
+        self, df: DataFrame, note: str = "", batch_id: int | None = None
+    ) -> int | None:
+        """Iceberg-style APPEND commit: write only ``df``'s rows as a new
+        delta directory; the snapshot's manifest references the parent's
+        data dirs PLUS the delta, so commit cost is O(delta), never
+        O(table) — the property that makes one-snapshot-per-micro-batch
+        streaming sinks viable (Iceberg's Spark structured-streaming sink
+        does exactly this).
+
+        ``batch_id`` renders the sink's exactly-once contract: foreachBatch
+        re-runs a failed micro-batch with the SAME batch id, so a commit
+        whose batch_id equals the current snapshot's is a retry — it is
+        skipped (returns None) instead of appending duplicates.  This is
+        the batch-id stamping Iceberg/Delta streaming sinks use for
+        idempotent micro-batch commits."""
+        if batch_id is not None:
+            snaps = self._load_meta()["snapshots"]
+            if snaps and snaps[-1].get("batch_id") == batch_id:
+                return None
+        return self._commit(df, note=note, append=True, batch_id=batch_id)
+
+    def _commit(
+        self, df: DataFrame, note: str, append: bool, batch_id: int | None
+    ) -> int:
         meta = self._load_meta()
         parent = meta["current"]
         sid = (parent or 0) + 1
@@ -111,7 +145,7 @@ class SnapshotTable:
             df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
                 "overwrite"
             ).parquet(data_dir)
-            rows = obs.get["rows"]
+            delta_rows = int(obs.get["rows"])
         except Exception:
             # a failed WRITE (not a crash) must release the claim, or every
             # retry of this sid would see a spurious "already claimed"
@@ -125,16 +159,28 @@ class SnapshotTable:
                 f"{self.root}: current moved past parent {parent} during "
                 f"commit of snapshot {sid}; data at {data_dir} orphaned"
             )
-        meta["snapshots"].append(
-            {
-                "id": sid,
-                "parent": parent,
-                "path": data_dir,
-                "rows": int(rows),
-                "written_at": datetime.now(timezone.utc).isoformat(),
-                "note": note,
-            }
+        parent_entry = next(
+            (s for s in meta["snapshots"] if s["id"] == parent), None
         )
+        if append and parent_entry is not None:
+            dirs = self._dirs_of(parent_entry) + [data_dir]
+            rows = parent_entry["rows"] + delta_rows
+        else:
+            dirs = [data_dir]
+            rows = delta_rows
+        entry = {
+            "id": sid,
+            "parent": parent,
+            "path": data_dir,
+            "dirs": dirs,
+            "rows": rows,
+            "delta_rows": delta_rows,
+            "written_at": datetime.now(timezone.utc).isoformat(),
+            "note": note,
+        }
+        if batch_id is not None:
+            entry["batch_id"] = batch_id
+        meta["snapshots"].append(entry)
         meta["current"] = sid
         tmp = self._meta_path() + f".tmp-{sid}"
         with open(tmp, "w") as f:
@@ -175,8 +221,15 @@ class SnapshotTable:
         os.replace(tmp, self._meta_path())
         import shutil
 
+        # append chains share delta dirs: an expired snapshot's own data
+        # dir may still be referenced by a kept snapshot's manifest —
+        # delete only dirs no kept snapshot references (Iceberg's expire
+        # deletes *unreachable* files, not every file the expired
+        # snapshot's manifest listed)
+        kept_dirs = {d for s in kept for d in self._dirs_of(s)}
         for s in expired:
-            shutil.rmtree(s["path"], ignore_errors=True)
+            if s["path"] not in kept_dirs:
+                shutil.rmtree(s["path"], ignore_errors=True)
             claim = os.path.join(self.root, f"claim-{s['id']:05d}")
             if os.path.exists(claim):
                 os.unlink(claim)
@@ -193,7 +246,9 @@ class SnapshotTable:
         import shutil
 
         meta = self._load_meta()
-        referenced = {s["path"] for s in meta["snapshots"]}
+        referenced = {
+            d for s in meta["snapshots"] for d in self._dirs_of(s)
+        }
         current = meta["current"] or 0
         removed: list[str] = []
         for name in sorted(os.listdir(self.root)):
@@ -222,7 +277,7 @@ class SnapshotTable:
             raise ValueError(f"{self.root}: no snapshot committed yet")
         for snap in meta["snapshots"]:
             if snap["id"] == sid:
-                return self.spark.read.parquet(snap["path"])
+                return self.spark.read.parquet(*self._dirs_of(snap))
         raise ValueError(f"{self.root}: snapshot {sid} not found")
 
 

@@ -173,3 +173,60 @@ def test_remove_orphans_spares_inflight_claim(spark, tmp_path):
     assert os.path.exists(os.path.join(root, "claim-00003"))
     assert t.current_id() == 2
     assert [r["id"] for r in t.read().collect()] == [2]
+
+
+def test_commit_append_manifest_and_time_travel(spark, tmp_path):
+    """Append commits write only the delta dir; each snapshot's manifest
+    unions parent dirs + delta, rows are cumulative, and time travel to an
+    earlier append sees only the rows committed by then."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(3):
+        sid = t.commit_append(
+            spark.createDataFrame([(i * 10 + j,) for j in range(i + 1)], "id long"),
+            note=f"a{i}",
+        )
+        assert sid == i + 1
+    snaps = t.snapshots()
+    assert [s["delta_rows"] for s in snaps] == [1, 2, 3]
+    assert [s["rows"] for s in snaps] == [1, 3, 6]
+    assert [len(s["dirs"]) for s in snaps] == [1, 2, 3]
+    assert t.read().count() == 6
+    assert {r["id"] for r in t.read(snapshot_id=2).collect()} == {0, 10, 11}
+    # a later FULL commit resets the manifest to one dir
+    t.commit(spark.createDataFrame([(99,)], "id long"), note="rewrite")
+    assert len(t.snapshots()[-1]["dirs"]) == 1
+    assert [r["id"] for r in t.read().collect()] == [99]
+    # ...and time travel through the append chain still works
+    assert t.read(snapshot_id=3).count() == 6
+
+
+def test_commit_append_batch_id_idempotent(spark, tmp_path):
+    """A retried micro-batch (same batch_id as the current snapshot) is
+    skipped — the foreachBatch exactly-once contract."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame([(1,)], "id long")
+    assert t.commit_append(df, batch_id=0) == 1
+    assert t.commit_append(df, batch_id=0) is None  # retry: skipped
+    assert t.commit_append(df, batch_id=1) == 2  # next batch: appended
+    assert t.read().count() == 2
+    assert [s.get("batch_id") for s in t.snapshots()] == [0, 1]
+
+
+def test_expire_keeps_delta_dirs_referenced_by_kept_appends(spark, tmp_path):
+    """Expiring early snapshots of an append chain must not delete delta
+    dirs the kept snapshots' manifests still reference."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(4):
+        t.commit_append(spark.createDataFrame([(i,)], "id long"), note=f"a{i}")
+    assert t.expire_snapshots(keep_last=2) == [1, 2]
+    # snapshots 3 and 4 still reference the deltas written by 1 and 2
+    assert t.read().count() == 4
+    assert t.read(snapshot_id=3).count() == 3
+    with pytest.raises(ValueError):
+        t.read(snapshot_id=1)
+    # orphan sweep removes only spent claims, never referenced deltas
+    # (expire already unlinked the expired snapshots' claims 1 and 2)
+    assert t.remove_orphans() == [
+        str(tmp_path / "tbl" / f"claim-{i:05d}") for i in (3, 4)
+    ]
+    assert t.read().count() == 4

@@ -282,3 +282,59 @@ def test_streaming_store_side_hot_bucket_cap(spark, tmp_path):
     asg = inc.assignments()
     assert asg.count() == 320
     assert asg.select("cluster_id").distinct().count() == 1
+
+
+def test_streaming_snapshot_sink_time_travel_and_exactly_once(spark, tmp_path):
+    """pairs_table_root: one append snapshot per non-empty micro-batch,
+    pair counts monotone across snapshots, final table == plain pairs
+    store semantics, and a simulated foreachBatch retry is a no-op."""
+    images = images_table(spark, num_clusters=12, seed=31).cache()
+    images.count()
+    cfg = PipelineConfig()
+    batch_pairs = {
+        (r["a"], r["b"])
+        for r in dedup_pipeline(images, cfg).verified_pairs.collect()
+    }
+
+    src = str(tmp_path / "stream_src")
+    images.filter(F.expr("pmod(phash, 2) = 0")).write.parquet(f"{src}/b0")
+    images.filter(F.expr("pmod(phash, 2) != 0")).write.parquet(f"{src}/b1")
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/b*")
+    )
+    inc = IncrementalDedup(
+        spark, str(tmp_path / "state"), cfg,
+        pairs_table_root=str(tmp_path / "pairs_tbl"),
+    )
+    q = inc.start(stream, trigger_available_now=True)
+    q.awaitTermination(300)
+
+    snaps = inc.pairs_table.snapshots()
+    assert len(snaps) >= 1
+    assert [s["batch_id"] for s in snaps] == list(range(len(snaps)))
+    # cumulative counts are monotone and the current read matches batch
+    counts = [inc.verified_pairs(snapshot_id=s["id"]).count() for s in snaps]
+    assert counts == sorted(counts)
+    stream_pairs = {(r["a"], r["b"]) for r in inc.verified_pairs().collect()}
+    assert stream_pairs == batch_pairs
+
+    # a replayed micro-batch (same batch_id) must not double-append
+    last = snaps[-1]
+    replay = inc.verified_pairs().limit(5)
+    assert inc.pairs_table.commit_append(
+        replay, batch_id=last["batch_id"]
+    ) is None
+    assert inc.pairs_table.current_id() == last["id"]
+    # assignments_recomputed consumes the snapshot table transparently
+    asg = {
+        (r["image_id"], r["cluster_id"])
+        for r in inc.assignments_recomputed().collect()
+    }
+    batch_asg = {
+        (r["image_id"], r["cluster_id"])
+        for r in dedup_pipeline(images, cfg).assignments.collect()
+    }
+    assert asg == batch_asg
