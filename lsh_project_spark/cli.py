@@ -34,7 +34,15 @@ def main(argv=None) -> int:
         "--output, which is then copied from the committed snapshot "
         "without re-running the pipeline",
     )
+    p.add_argument(
+        "--snapshot-keep-last", type=int, default=None, metavar="N",
+        help="after committing, expire all but the newest N snapshots and "
+        "sweep orphaned data dirs / spent commit claims "
+        "(table maintenance; requires --snapshot-root)",
+    )
     args = p.parse_args(argv)
+    if args.snapshot_keep_last is not None and not args.snapshot_root:
+        p.error("--snapshot-keep-last requires --snapshot-root")
 
     from pyspark.sql import SparkSession
 
@@ -67,6 +75,9 @@ def main(argv=None) -> int:
 
         table = SnapshotTable(spark, args.snapshot_root)
         table.commit(assignments, note=f"cli input={args.input}")
+        if args.snapshot_keep_last is not None:
+            table.expire_snapshots(keep_last=args.snapshot_keep_last)
+            table.remove_orphans()
         # --output is served from the committed snapshot: the pipeline DAG
         # executed once for the commit; re-writing `assignments` here
         # would re-execute it end to end

@@ -235,6 +235,15 @@ class SnapshotTable:
                 os.unlink(claim)
         return [s["id"] for s in expired]
 
+    def rewrite_data_files(self, note: str = "compaction") -> int:
+        """Iceberg's ``rewrite_data_files``: commit a FULL snapshot of the
+        current view, collapsing an append chain's many delta dirs into
+        one.  Read fan-in after N streaming appends is N dirs; periodic
+        compaction bounds it.  History is preserved — pair with
+        :meth:`expire_snapshots` + :meth:`remove_orphans` to reclaim the
+        superseded deltas."""
+        return self.commit(self.read(), note=note)
+
     def remove_orphans(self) -> list[str]:
         """Iceberg's ``remove_orphan_files``: delete ``snap-*`` data
         directories not referenced by any snapshot in the metadata log

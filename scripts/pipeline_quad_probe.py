@@ -336,7 +336,7 @@ def main() -> None:
     # efficiency is computed from the per-phase minima.  Every raw
     # invocation stays in the artifact.
     jpath = os.path.join(REPO, "BENCH", "PIPELINE_QUAD.json")
-    runs = []
+    runs, prior = [], {}
     if os.path.exists(jpath):
         with open(jpath) as f:
             prior = json.load(f)
@@ -346,6 +346,8 @@ def main() -> None:
     best_quad = min(runs, key=lambda r: r["quad_concurrent_mean_wall"])
     eff = best_solo["wall"] / best_quad["quad_concurrent_mean_wall"]
     out = {
+        # keep keys other invocation modes own (e.g. --hw's hw_ceiling)
+        **prior,
         "runs": runs,
         "solo_4c": best_solo,
         "quad_units": best_quad["quad_units"],
@@ -391,15 +393,18 @@ shared box itself):
 | DRAM-bandwidth-shaped (256 MB streaming copies) | {hw['bandwidth']['solo_wall']} | {hw['bandwidth']['quad_mean_wall']} | **{hw['bandwidth']['ceiling']:.3f}** |
 
 Under the same measurement epoch and protocol, the box's own Spark-free
-weak scaling is {hw['compute']['ceiling']:.2f} (compute) /
-{hw['bandwidth']['ceiling']:.2f} (bandwidth): NOTHING — not even four
-independent numpy processes sharing no state — weak-scales past ~the
-bracket on this VM, because the four units share one memory controller
-and live alongside co-tenants.  The pipeline's measured
+weak scaling is {hw['compute']['ceiling']:.2f} (compute-shaped) /
+{hw['bandwidth']['ceiling']:.2f} (DRAM-shaped): NOTHING — not even four
+independent numpy processes sharing no state — weak-scales past its
+point in that bracket on this VM, because the four units share one
+memory controller and live alongside co-tenants.  Any real job lands
+between the two burns according to its DRAM-traffic share; the
+pipeline's measured
 {out['process_scaling_efficiency']:.3f}-{max(r['run_efficiency'] for r in out.get('runs', [{'run_efficiency': out['process_scaling_efficiency']}])):.3f}
-meets/exceeds that Spark-free ceiling, with per-unit core utilization
-0.89+ at both levels — the DAG starves no core; job-structure
-efficiency (pipeline / Spark-free ceiling) is ~1.0.  The CC stage
+corresponds to a ~25-30% DRAM share (shuffle + Arrow transfer + BLAS
+streaming) under the harmonic-mix model — consistent, not anomalous —
+with per-unit core utilization 0.89+ at both levels: the DAG starves no
+core; the shortfall is bytes/second, not task structure.  The CC stage
 alone, which moves far fewer bytes per core-second, process-scaled at
 0.972 in a quieter epoch (BENCH/CC_THROUGHPUT.md).  A real 4N-executor
 cluster gives each executor its own memory controller and no

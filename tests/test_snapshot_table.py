@@ -230,3 +230,59 @@ def test_expire_keeps_delta_dirs_referenced_by_kept_appends(spark, tmp_path):
         str(tmp_path / "tbl" / f"claim-{i:05d}") for i in (3, 4)
     ]
     assert t.read().count() == 4
+
+
+def test_cli_snapshot_keep_last_trims_history(spark, tmp_path):
+    """--snapshot-root + --snapshot-keep-last: each CLI run commits, then
+    expires history beyond N and sweeps spent claims; --output always
+    mirrors the current snapshot."""
+    from lsh_project_spark.cli import main
+    from lsh_project_spark.sources.fixtures import images_from_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"tokens of doc {i} " + "pad " * (i % 4)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    inp = str(tmp_path / "images")
+    images_from_documents(docs).write.parquet(inp)
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    for _ in range(3):
+        assert main([
+            "--input", inp, "--output", out,
+            "--snapshot-root", root, "--snapshot-keep-last", "2",
+            "--no-substring",
+        ]) == 0
+    t = SnapshotTable(spark, root)
+    assert t.current_id() == 3
+    assert [s["id"] for s in t.snapshots()] == [2, 3]
+    assert not [
+        n for n in os.listdir(root) if n.startswith("claim-")
+    ], "spent claims must be swept"
+    got = {
+        (r["image_id"], r["cluster_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["image_id"], r["cluster_id"]) for r in t.read().collect()
+    }
+    assert got == want
+
+
+def test_rewrite_data_files_collapses_append_chain(spark, tmp_path):
+    """Compaction commits a one-dir full snapshot of the current view;
+    expire + orphan sweep then reclaims the superseded delta dirs."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(4):
+        t.commit_append(spark.createDataFrame([(i,)], "id long"))
+    assert len(t.snapshots()[-1]["dirs"]) == 4
+    sid = t.rewrite_data_files()
+    assert sid == 5
+    assert len(t.snapshots()[-1]["dirs"]) == 1
+    assert {r["id"] for r in t.read().collect()} == {0, 1, 2, 3}
+    # reclaim: only the compacted snapshot remains; deltas really deleted
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphans()
+    dirs = [n for n in os.listdir(str(tmp_path / "tbl")) if n.startswith("snap-")]
+    assert dirs == ["snap-00005"]
+    assert {r["id"] for r in t.read().collect()} == {0, 1, 2, 3}
