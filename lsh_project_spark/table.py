@@ -279,14 +279,25 @@ class SnapshotTable:
     # ----------------------------------------------------------------- read
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
-        """Current table, or the table exactly as of ``snapshot_id``."""
+        """Current table, or the table exactly as of ``snapshot_id``.
+
+        Schema evolution across an append chain is additive (Iceberg's
+        add-column semantics): a later append may carry extra columns;
+        reads union the per-dir Parquet schemas (``mergeSchema``) and
+        rows written before a column existed surface it as null.  Column
+        drops/renames/retypes are NOT supported — Parquet footers carry
+        no field-id mapping here, so only name-stable addition is safe."""
         meta = self._load_meta()
         sid = snapshot_id if snapshot_id is not None else meta["current"]
         if sid is None:
             raise ValueError(f"{self.root}: no snapshot committed yet")
         for snap in meta["snapshots"]:
             if snap["id"] == sid:
-                return self.spark.read.parquet(*self._dirs_of(snap))
+                dirs = self._dirs_of(snap)
+                reader = self.spark.read
+                if len(dirs) > 1:
+                    reader = reader.option("mergeSchema", "true")
+                return reader.parquet(*dirs)
         raise ValueError(f"{self.root}: snapshot {sid} not found")
 
 

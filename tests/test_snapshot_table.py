@@ -286,3 +286,21 @@ def test_rewrite_data_files_collapses_append_chain(spark, tmp_path):
     dirs = [n for n in os.listdir(str(tmp_path / "tbl")) if n.startswith("snap-")]
     assert dirs == ["snap-00005"]
     assert {r["id"] for r in t.read().collect()} == {0, 1, 2, 3}
+
+
+def test_append_chain_additive_schema_evolution(spark, tmp_path):
+    """A later append may add columns (Iceberg add-column): merged reads
+    surface the new column, pre-existing rows read it as null, and time
+    travel to the pre-evolution snapshot shows the old schema."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(2, "b", 0.5)], "id long, v string, score double"
+        )
+    )
+    cur = t.read().orderBy("id")
+    assert set(cur.columns) == {"id", "v", "score"}
+    rows = {(r["id"], r["v"], r["score"]) for r in cur.collect()}
+    assert rows == {(1, "a", None), (2, "b", 0.5)}
+    assert set(t.read(snapshot_id=1).columns) == {"id", "v"}
