@@ -326,3 +326,55 @@ def assign_clusters(
             F.coalesce("cluster_id", "id").alias("cluster_id"),
         )
     )
+
+
+def cluster_representatives(
+    rows: DataFrame,
+    assignments: DataFrame,
+    quality_col: str,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """One surviving row per duplicate cluster — the selection stage a
+    curation pipeline runs after clustering: keep the member with the
+    HIGHEST ``quality_col`` (ties: smallest ``id_col``) and drop the rest.
+
+    No reference analog (the reference stops at top-1 neighbors); this is
+    the standard dedup-keeper policy of web-scale corpus pipelines.
+
+    Scale shape: ONE aggregation on cluster_id with map-side partial
+    combine — ``min_by`` over the composite order (-quality, id) computes
+    the argmin per cluster without a per-cluster sort (a window would
+    shuffle AND sort; clusters are bounded but the sort buys nothing).
+    Output: (cluster_id, id_col, quality_col) of the keeper, plus
+    cluster_size for downstream accounting.
+    """
+    joined = rows.join(assignments, id_col)
+    ordk = F.struct(
+        (-F.col(quality_col)).alias("negq"), F.col(id_col).alias("id")
+    )
+    keeper = F.min_by(F.struct(id_col, quality_col), ordk).alias("k")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(keeper, F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            "cluster_id",
+            F.col(f"k.{id_col}").alias(id_col),
+            F.col(f"k.{quality_col}").alias(quality_col),
+            "cluster_size",
+        )
+    )
+
+
+def dedup_keep(
+    rows: DataFrame,
+    assignments: DataFrame,
+    quality_col: str,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """The deduplicated corpus itself: ``rows`` filtered to cluster
+    representatives (broadcast-free left-semi join on the id — keeper ids
+    are one row per cluster, so the join input is already minimal)."""
+    keepers = cluster_representatives(
+        rows, assignments, quality_col, id_col
+    ).select(id_col)
+    return rows.join(keepers, id_col, "left_semi")

@@ -498,6 +498,31 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection over the full dedup pipeline (the stage a curation
+    run executes after clustering): per cluster keep the member with the
+    most caption tokens, ties broken by smallest id — computed by
+    operators/cluster.cluster_representatives (single min_by aggregation,
+    no per-cluster sort).  The DuckDB oracle replays the whole pipeline
+    (same CTE chain as dedup_cluster_sizes) and applies the identical
+    policy as a window rank, so keeper identity — not just counts — is
+    gated hash-exactly."""
+    from ..config import PipelineConfig
+    from ..operators.cluster import cluster_representatives
+    from ..pipeline import dedup_pipeline
+    from ..sources.fixtures import images_portable
+
+    images = images_portable(_docs(spark, sf_dir))
+    res = dedup_pipeline(images, PipelineConfig(phash_hamming_threshold=6))
+    quality = images.select(
+        "image_id",
+        F.size(F.split("caption", " ")).cast("long").alias("n_tokens"),
+    )
+    return cluster_representatives(
+        quality, res.assignments, quality_col="n_tokens"
+    ).orderBy("cluster_id")
+
+
 def _mp_rot():
     """Literal rotation tensor for the multi-probe gate: H8 (Sylvester
     Hadamard) x diag(Rademacher +-1 from PCG64(4451)) per (table, sub-hash)
@@ -632,6 +657,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "cp_multiprobe_buckets": q_cp_multiprobe_buckets,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "dedup_representatives": q_dedup_representatives,
     "image_decode_stats": q_image_decode_stats,
     "audio_features": q_audio_features,
     "video_frame_stats": q_video_frame_stats,
@@ -872,6 +898,10 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
         "dedup_cluster_sizes": duckdb_dedup_clusters_sql(
             MH_CFG, substring_min_len=_SUB_CFG.min_length
+        ),
+        "dedup_representatives": duckdb_dedup_clusters_sql(
+            MH_CFG, substring_min_len=_SUB_CFG.min_length,
+            emit="representatives",
         ),
         # the oracle PREDICTS post-resize decoded dims from the generation
         # rule (size = 32 + doc_id%5*16, halved); the Spark side must

@@ -73,6 +73,7 @@ def duckdb_dedup_clusters_sql(
     hamming_tau: int = 6,
     jaccard_tau: float = 0.5,
     substring_min_len: int | None = 50,
+    emit: str = "sizes",
 ) -> str:
     """DuckDB twin of the FULL dedup pipeline on the portable images table
     (sources/fixtures.images_portable): rebuild the identical table, derive
@@ -181,9 +182,30 @@ walk(id, comp) AS (
 ),
 labels AS (SELECT id, min(comp) AS cluster FROM walk GROUP BY id),
 sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
-SELECT cluster_size, count(*) AS n_clusters
-FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+{_DEDUP_EMIT[emit]}
 """
+
+
+# final SELECT per gate over the shared full-pipeline CTE chain: the
+# cluster-size histogram (dedup_cluster_sizes) or the keeper-per-cluster
+# selection (dedup_representatives: max token count, tie min id — the
+# engine's cluster_representatives min_by((-q, id)) policy)
+_DEDUP_EMIT = {
+    "sizes": """SELECT cluster_size, count(*) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
+    "representatives": """SELECT cluster_id, image_id, n_tokens, cluster_size
+FROM (
+  SELECT l.cluster AS cluster_id, i.doc_id AS image_id,
+         CAST(len(string_split(i.text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (
+           PARTITION BY l.cluster
+           ORDER BY len(string_split(i.text, ' ')) DESC, i.doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY l.cluster) AS cluster_size
+  FROM labels l JOIN imgs i ON l.id = i.doc_id
+)
+WHERE rn = 1 ORDER BY cluster_id""",
+}
 
 
 def duckdb_ann_topk_sql(

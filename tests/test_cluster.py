@@ -110,3 +110,34 @@ def test_cc_contraction_edge_cases(spark):
     e3 = spark.createDataFrame([], "a long, b long")
     assert connected_components(e3, driver_max_edges=0).count() == 0
     assert connected_components(e3).count() == 0
+
+
+def test_cluster_representatives_policy_and_keep(spark):
+    """Keeper = highest quality, tie smallest id; dedup_keep returns the
+    corpus filtered to keepers (singletons keep themselves)."""
+    from lsh_project_spark.operators.cluster import (
+        cluster_representatives,
+        dedup_keep,
+    )
+
+    rows = spark.createDataFrame(
+        [  # cluster 1: c wins on quality; cluster 2: tie -> min id wins
+            ("a", 3), ("b", 5), ("c", 9),
+            ("x", 7), ("y", 7),
+            ("solo", 1),
+        ],
+        "image_id string, q long",
+    )
+    asg = spark.createDataFrame(
+        [("a", "1"), ("b", "1"), ("c", "1"),
+         ("x", "2"), ("y", "2"), ("solo", "3")],
+        "image_id string, cluster_id string",
+    )
+    reps = {
+        (r["cluster_id"], r["image_id"], r["q"], r["cluster_size"])
+        for r in cluster_representatives(rows, asg, "q").collect()
+    }
+    assert reps == {("1", "c", 9, 3), ("2", "x", 7, 2), ("3", "solo", 1, 1)}
+
+    kept = {r["image_id"] for r in dedup_keep(rows, asg, "q").collect()}
+    assert kept == {"c", "x", "solo"}
