@@ -544,6 +544,14 @@ class IncrementalDedup:
                 self._save_remap({})
             else:
                 self._compact_one(self.assign_store_path, "pid", ["image_id"])
+        if self.pairs_table is not None and self.pairs_table.current_id():
+            # collapse the per-batch append chain (read fan-in grows one
+            # dir per micro-batch otherwise); history stays time-travelable
+            # and commit_append's monotone batch-id skip keeps retries
+            # idempotent across the compaction commit
+            self.pairs_table.rewrite_data_files(
+                note=f"compaction after {self.compact_every} batches"
+            )
         self._batches_since_compact = 0
 
     # ------------------------------------------------------------- querying

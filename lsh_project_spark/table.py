@@ -107,14 +107,23 @@ class SnapshotTable:
         does exactly this).
 
         ``batch_id`` renders the sink's exactly-once contract: foreachBatch
-        re-runs a failed micro-batch with the SAME batch id, so a commit
-        whose batch_id equals the current snapshot's is a retry — it is
-        skipped (returns None) instead of appending duplicates.  This is
-        the batch-id stamping Iceberg/Delta streaming sinks use for
-        idempotent micro-batch commits."""
+        re-runs a failed micro-batch with the SAME batch id, and batch ids
+        are monotone — so a commit whose batch_id is <= the highest one
+        already recorded is a retry and is skipped (returns None) instead
+        of appending duplicates, even if a non-batch commit (e.g. a
+        rewrite_data_files compaction) landed in between.  This is the
+        batch-id stamping Iceberg/Delta streaming sinks use for idempotent
+        micro-batch commits."""
         if batch_id is not None:
-            snaps = self._load_meta()["snapshots"]
-            if snaps and snaps[-1].get("batch_id") == batch_id:
+            last_bid = max(
+                (
+                    s["batch_id"]
+                    for s in self._load_meta()["snapshots"]
+                    if s.get("batch_id") is not None
+                ),
+                default=None,
+            )
+            if last_bid is not None and batch_id <= last_bid:
                 return None
         return self._commit(df, note=note, append=True, batch_id=batch_id)
 

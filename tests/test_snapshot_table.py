@@ -304,3 +304,25 @@ def test_append_chain_additive_schema_evolution(spark, tmp_path):
     rows = {(r["id"], r["v"], r["score"]) for r in cur.collect()}
     assert rows == {(1, "a", None), (2, "b", 0.5)}
     assert set(t.read(snapshot_id=1).columns) == {"id", "v"}
+
+
+def test_batch_id_skip_survives_interleaved_compaction(spark, tmp_path):
+    """A micro-batch retry arriving AFTER a rewrite_data_files commit must
+    still be recognized (monotone batch-id rule), and a genuinely new
+    batch must still append."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.createDataFrame([(1,)], "id long"), batch_id=0)
+    t.commit_append(spark.createDataFrame([(2,)], "id long"), batch_id=1)
+    t.rewrite_data_files()
+    assert t.read().count() == 2
+    # retry of batch 1 after the compaction: skipped
+    assert t.commit_append(
+        spark.createDataFrame([(2,)], "id long"), batch_id=1
+    ) is None
+    assert t.read().count() == 2
+    # next batch appends on top of the compacted snapshot
+    assert t.commit_append(
+        spark.createDataFrame([(3,)], "id long"), batch_id=2
+    ) == 4
+    assert t.read().count() == 3
+    assert len(t.snapshots()[-1]["dirs"]) == 2
