@@ -338,3 +338,40 @@ def test_streaming_snapshot_sink_time_travel_and_exactly_once(spark, tmp_path):
         for r in dedup_pipeline(images, cfg).assignments.collect()
     }
     assert asg == batch_asg
+
+
+def test_streaming_sink_compaction_mid_stream(spark, tmp_path):
+    """pairs_table + compact_every: the rewrite_data_files commit fires
+    INSIDE the stream; later batches append on top of the compacted
+    snapshot, retries stay idempotent across it, read fan-in is bounded,
+    and the final pairs still match the batch pipeline."""
+    images = images_table(spark, num_clusters=12, seed=31).cache()
+    images.count()
+    cfg = PipelineConfig()
+    batch_pairs = {
+        (r["a"], r["b"])
+        for r in dedup_pipeline(images, cfg).verified_pairs.collect()
+    }
+
+    inc = IncrementalDedup(
+        spark, str(tmp_path / "state"), cfg, num_store_partitions=8,
+        compact_every=2, pairs_table_root=str(tmp_path / "ptbl"),
+    )
+    for b in range(6):
+        inc.process_batch(images.filter(F.expr(f"pmod(phash, 6) = {b}")), b)
+
+    snaps = inc.pairs_table.snapshots()
+    notes = [s["note"] for s in snaps]
+    assert any("compaction" in n for n in notes), notes
+    # compaction bounds fan-in: the current manifest references at most
+    # compact_every + 1 dirs (deltas since the last rewrite + the rewrite)
+    assert len(snaps[-1]["dirs"]) <= 3, snaps[-1]["dirs"]
+
+    # a replay of the last micro-batch after everything: skipped
+    last_bid = max(s["batch_id"] for s in snaps if "batch_id" in s)
+    assert inc.pairs_table.commit_append(
+        inc.verified_pairs().limit(1), batch_id=last_bid
+    ) is None
+
+    stream_pairs = {(r["a"], r["b"]) for r in inc.verified_pairs().collect()}
+    assert stream_pairs == batch_pairs
