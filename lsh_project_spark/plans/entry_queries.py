@@ -459,7 +459,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join); the DuckDB oracle re-derives the same buckets and the
     same planted doubles bit-exactly, so the accept SET is gated
     hash-exactly.  The 0.85 threshold sits in a wide margin: planted
-    twins >= 0.99, random pairs <= ~0.6."""
+    twins >= 0.99, random pairs <= ~0.6.
+
+    Engine/oracle candidate parity holds because no bucket approaches
+    near_dup_pairs' hot_bucket_threshold (2000): auto_bits targets ~8
+    rows/bucket, and the planted-twin table's worst observed bucket is
+    <100 rows at every gated sf — the oracle enumerates all same-bucket
+    pairs, the engine's star defense never fires (drop_stats hot_buckets
+    = 0; see near_dup_pairs docstring for the above-threshold caveat)."""
     from ..operators.similarity import near_dup_pairs
 
     aug = _emb_near_dup(spark, sf_dir)
