@@ -327,12 +327,17 @@ def run_queries(spark) -> tuple[dict, dict]:
     unreadable (e.g. a 9.9s substring_pairs that re-measures at 5.5s in
     a quiet window)."""
     import __spark_entry__ as E
+    from lsh_project_spark.plans import entry_queries
 
     out, raw = {}, {}
     qs = E.queries()
     for name in BENCH_QUERIES:
         runs = []
         for _ in range(2):
+            # gates memoize shared intermediates (the flagship pipeline is
+            # computed once per correctness pass); a timed rep must pay the
+            # full DAG, so drop the memo before starting the clock
+            entry_queries.reset_gate_caches()
             t0 = time.time()
             qs[name](spark, SF_DIR).write.mode("overwrite").format(
                 "noop"

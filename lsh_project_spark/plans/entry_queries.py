@@ -474,6 +474,42 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b")
 
 
+_DEDUP_PIPELINE_CACHE: dict = {}
+
+
+def reset_gate_caches() -> None:
+    """Drop memoized gate intermediates.  bench.py calls this between timed
+    repetitions so every rep pays the full pipeline DAG; without it the
+    min-of-N wall of dedup_cluster_sizes would measure a cache read."""
+    for df in _DEDUP_PIPELINE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _DEDUP_PIPELINE_CACHE.clear()
+
+
+def _dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship-pipeline assignments, computed ONCE per (application,
+    sf_dir) and shared by every gate that consumes them —
+    dedup_cluster_sizes and dedup_representatives previously each ran the
+    full multimodal DAG from scratch, so one correctness pass executed the
+    most expensive plan in the suite twice (round-5 verdict #4).  Persisted
+    and materialized here; the second consumer reads cached partitions."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DEDUP_PIPELINE_CACHE:
+        from ..config import PipelineConfig
+        from ..pipeline import dedup_pipeline
+        from ..sources.fixtures import images_portable
+
+        images = images_portable(_docs(spark, sf_dir))
+        res = dedup_pipeline(images, PipelineConfig(phash_hamming_threshold=6))
+        assignments = res.assignments.persist()
+        assignments.count()
+        _DEDUP_PIPELINE_CACHE[key] = assignments
+    return _DEDUP_PIPELINE_CACHE[key]
+
+
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline (multimodal signatures -> candidates -> exact
     verify -> OR-union with the substring modality -> connected components)
@@ -490,14 +526,8 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs between random 60-bit phashes at ~1e-3 expected for this table
     size, so the exhaustive oracle and the LSH engine see the same pair
     set; planted near-dup pairs sit at Hamming 2."""
-    from ..config import PipelineConfig
-    from ..pipeline import dedup_pipeline
-    from ..sources.fixtures import images_portable
-
-    images = images_portable(_docs(spark, sf_dir))
-    res = dedup_pipeline(images, PipelineConfig(phash_hamming_threshold=6))
     return (
-        res.assignments.groupBy("cluster_id")
+        _dedup_assignments(spark, sf_dir).groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"))
         .groupBy("cluster_size")
         .agg(F.count("*").alias("n_clusters"))
@@ -513,20 +543,18 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-cluster sort).  The DuckDB oracle replays the whole pipeline
     (same CTE chain as dedup_cluster_sizes) and applies the identical
     policy as a window rank, so keeper identity — not just counts — is
-    gated hash-exactly."""
-    from ..config import PipelineConfig
+    gated hash-exactly.  Shares the pipeline run (and its persisted
+    assignments) with dedup_cluster_sizes via _dedup_assignments."""
     from ..operators.cluster import cluster_representatives
-    from ..pipeline import dedup_pipeline
     from ..sources.fixtures import images_portable
 
     images = images_portable(_docs(spark, sf_dir))
-    res = dedup_pipeline(images, PipelineConfig(phash_hamming_threshold=6))
     quality = images.select(
         "image_id",
         F.size(F.split("caption", " ")).cast("long").alias("n_tokens"),
     )
     return cluster_representatives(
-        quality, res.assignments, quality_col="n_tokens"
+        quality, _dedup_assignments(spark, sf_dir), quality_col="n_tokens"
     ).orderBy("cluster_id")
 
 
