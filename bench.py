@@ -136,25 +136,28 @@ def run_dedup(spark) -> tuple[float, int, dict]:
         spark.catalog.clearCache()
     sigs_wall = min(sigs_runs)
 
-    # stage attribution (separate materializations; sums can exceed wall) —
-    # min-of-N per stage like the headline, else a single co-tenant spike
-    # makes stage deltas unreadable round over round
+    # stage attribution: ONE staged run per rep — profile, candidates,
+    # verify, CLUSTER measured sequentially inside the same run, so the
+    # per-rep stage walls SUM to that rep's staged e2e (round-5 verdict:
+    # separate re-executions hid the cluster stage entirely and let the
+    # sigs-only wall move with no stage owning the delta).  min-of-N per
+    # stage AND per staged total, raw per-rep dicts kept.
+    from lsh_project_spark.operators.cluster import assign_clusters
+
     stages: dict = {}
+    staged_reps: list[dict] = []
     slim = images.select("image_id", "caption", "phash")
     drop_stats: dict = {}
     n_cands = n_verified = 0
     for _rep in range(_E2E_REPS):
         rep: dict = {}
         t = time.time()
-        profile = multimodal_profile(slim, cfg)
-        profile.write.mode("overwrite").format("noop").save()
-        rep["profile_signatures"] = round(time.time() - t, 2)
-        # materialize the cache BEFORE starting the candidates timer:
-        # persist() is lazy, so without this count() the first action below
-        # would re-run the entire profile computation inside the
-        # "candidates" stage (the round-3 attribution artifact)
-        profile = profile.persist()
+        # persist + count mirrors dedup_pipeline's own profile persist; the
+        # count also stops the candidates timer from re-running the profile
+        # (the round-3 attribution artifact)
+        profile = multimodal_profile(slim, cfg).persist()
         profile.count()
+        rep["profile_signatures"] = round(time.time() - t, 2)
         t = time.time()
         drop_stats = {}
         cands = candidate_pairs(
@@ -169,6 +172,15 @@ def run_dedup(spark) -> tuple[float, int, dict]:
         verified = verify_pairs_from_profile(cands, profile, cfg).persist()
         n_verified = verified.count()
         rep["verify"] = round(time.time() - t, 2)
+        t = time.time()
+        assign_clusters(profile, verified, id_col="image_id").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        rep["cluster"] = round(time.time() - t, 2)
+        rep["staged_total"] = round(
+            rep["profile_signatures"] + rep["candidates"] + rep["verify"]
+            + rep["cluster"], 2,
+        )
         if cfg.substring_enabled:
             from lsh_project_spark.operators.substring import substring_pairs
             import pyspark.sql.functions as F
@@ -179,6 +191,7 @@ def run_dedup(spark) -> tuple[float, int, dict]:
                 cfg.substring, id_col="image_id", text_col="text",
             ).write.mode("overwrite").format("noop").save()
             rep["substring_modality"] = round(time.time() - t, 2)
+        staged_reps.append(rep)
         for k2, v in rep.items():
             stages[k2] = min(stages.get(k2, float("inf")), v)
         if _rep < _E2E_REPS - 1:
@@ -213,6 +226,9 @@ def run_dedup(spark) -> tuple[float, int, dict]:
     # raw per-rep walls so the min is auditable against host noise
     model["e2e_runs_raw"] = e2e_runs
     model["sigs_only_runs_raw"] = sigs_runs
+    # per-rep staged dicts: each rep's stage walls sum to its staged_total,
+    # so a sigs-only move MUST show up in a named stage (round-5 verdict #3)
+    model["staged_reps_raw"] = staged_reps
     return wall, n, stages, model
 
 

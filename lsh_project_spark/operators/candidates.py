@@ -49,8 +49,18 @@ def candidate_pairs(
     salt_groups: int = 16,
     drop_stats: dict | None = None,
     persist: bool = True,  # kept for API compat; single-pass plan needs none
+    min_shared_buckets: int = 1,
 ) -> DataFrame:
-    """Signature table -> distinct (a, b) candidate pairs with a < b."""
+    """Signature table -> distinct (a, b) candidate pairs with a < b.
+
+    ``min_shared_buckets > 1`` keeps only pairs co-occurring in at least
+    that many buckets (counted over the enumerated cold-bucket pairs; hot
+    -bucket star edges always pass — they are a connectivity fallback, not
+    an enumeration).  Same shuffle as the dedup it replaces (a groupBy
+    count instead of dropDuplicates), but the downstream verify sees
+    superlinearly fewer near-threshold pairs.  RECALL CAVEAT: a true pair
+    sharing only ``min_shared_buckets - 1`` buckets is dropped — callers
+    must own that bound (see substring_pairs' min_shared_fps)."""
     if hot_bucket_threshold > _MAX_ALLPAIRS_THRESHOLD:
         raise ValueError(
             f"hot_bucket_threshold {hot_bucket_threshold} > "
@@ -129,6 +139,13 @@ def candidate_pairs(
             F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket"),
         )
 
+    if min_shared_buckets > 1:
+        cold_pairs = (
+            cold_pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("_nb"))
+            .filter(F.col("_nb") >= min_shared_buckets)
+            .select("a", "b")
+        )
     return (
         cold_pairs.unionByName(hot_member_edges)
         .unionByName(hot_chain_edges)

@@ -39,14 +39,19 @@ def pack_documents(
             "n_tokens"),
     )
     P = num_partitions or toks.sparkSession.sparkContext.defaultParallelism
-    # persist across the two jobs: the totals job and the final pass must
-    # see the SAME range boundaries (range repartition samples boundaries
-    # at execution time, so an unpersisted recompute could bin rows into
-    # different _pids than the offsets were collected for)
+    # freeze the sampled range boundaries across the two jobs: the totals
+    # job and the final pass must see the SAME binning (range repartition
+    # samples boundaries at execution time, so a recompute could bin rows
+    # into different _pids than the offsets were collected for).  An EAGER
+    # localCheckpoint materializes once and — unlike persist(), which pins
+    # an entry in the session cache manager until an explicit unpersist
+    # (the round-5 leak: every call accumulated cached partitions for the
+    # session lifetime) — its blocks are reclaimed by the ContextCleaner
+    # as soon as the caller drops the returned DataFrame.
     parts = (
         toks.repartitionByRange(P, id_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # driver-side: P partial sums -> exclusive base offset per partition
     totals = {

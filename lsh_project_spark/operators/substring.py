@@ -325,9 +325,20 @@ def verify_lcs_pairs(
 def substring_pairs(
     docs: DataFrame, cfg: SubstringConfig, id_col: str = "doc_id",
     text_col: str = "text", hot_threshold: int = 64, grid: int = 8,
+    min_shared_fps: int = 1,
 ) -> DataFrame:
     """(id, text) -> (a, b, lcs_len) pairs with an exact common substring of
     >= cfg.min_length chars.
+
+    ``min_shared_fps`` (default 1 = exact semantics) is the scale lever for
+    near-threshold-heavy corpora: require candidates to share >= m winnowed
+    fingerprints before the LCS verify.  Winnowing guarantees >= m shared
+    fingerprints only for common substrings of
+    >= cfg.kgram + m * cfg.window - 1 bytes (81 at the 50/20 defaults with
+    m=2), so pairs whose LONGEST common substring is in
+    [min_length, kgram + m*window - 1) MAY be missed — a documented recall
+    bound, not the operator's exact contract; the correctness gates run at
+    the default m=1.
 
     Verify runs on a **grid of cells** (the classic blocked theta-join
     layout, Okcan & Riedewald '11): pair (a, b) lands in cell
@@ -343,7 +354,9 @@ def substring_pairs(
     """
     fps = winnowed_fingerprints(docs, cfg, id_col, text_col)
     cands = candidate_pairs(
-        fps, id_col=id_col, bucket_cols=("fp",), hot_bucket_threshold=hot_threshold
+        fps, id_col=id_col, bucket_cols=("fp",),
+        hot_bucket_threshold=hot_threshold,
+        min_shared_buckets=min_shared_fps,
     )
     G = grid
     cells = cands.select(

@@ -413,10 +413,14 @@ class IncrementalDedup:
         )
         id_type = dict(new_ids_df.dtypes)["image_id"]
         prior: dict = {}
-        old_touched = touched - set(new_ids)
-        if have_store and old_touched:
+        # look up ALL touched ids, including this batch's new_ids: an id can
+        # RE-ARRIVE (same image in two micro-batches) and must seed from its
+        # stored cluster root — excluding new_ids here (the round-5 bug) made
+        # re-arrivals look fresh, appending a second conflicting store row
+        # seeded from the id itself instead of its stored label
+        if have_store and touched:
             ids_df = self.spark.createDataFrame(
-                [(i,) for i in old_touched], f"image_id {id_type}"
+                [(i,) for i in touched], f"image_id {id_type}"
             )
             pids = [
                 r["pid"] for r in ids_df.select(
@@ -465,8 +469,10 @@ class IncrementalDedup:
             remap[k] = resolve(remap[k])
         self._save_remap(remap)
 
-        # append assignments for genuinely new ids only (a re-arriving id
-        # already has a row; the remap converges both to the same root)
+        # append assignments only for ids truly absent from the store: a
+        # re-arriving id already has a row whose label the remap resolves
+        # to the same root this batch computed (its base was seeded from
+        # that very label above)
         fresh = [i for i in new_ids if i not in prior]
         if fresh:
             out = self.spark.createDataFrame(

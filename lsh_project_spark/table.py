@@ -19,9 +19,15 @@ dance the streaming store compaction needed (streaming/incremental.py).
 
 Layout:
     root/
-      snap-00001/...parquet...(_SUCCESS)
-      snap-00002/...
+      snap-00001-<token>/...parquet...(_SUCCESS)
+      snap-00002-<token>/...
       metadata.json   {"current": 2, "snapshots": [...]}
+
+Data dirs carry a per-writer random token (Iceberg-style unique file
+names): even if a stale writer re-claims a freed snapshot id, its write
+targets a fresh directory and can never overwrite a committed snapshot's
+data — the flip-time parent re-validation then rejects it, orphaning only
+the stale writer's own directory.
 """
 
 from __future__ import annotations
@@ -36,6 +42,16 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 METADATA = "metadata.json"
 
 
+def _json_bound(v):
+    """Observation min/max value coerced to a JSON-round-trippable bound
+    (numpy scalars and Decimals come back from the JVM occasionally)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if hasattr(v, "item"):
+        return v.item()
+    return float(v)
+
+
 class CommitConflictError(RuntimeError):
     """Raised when a commit's parent snapshot is no longer current (another
     writer committed first) — the optimistic-concurrency surface Iceberg
@@ -43,11 +59,22 @@ class CommitConflictError(RuntimeError):
 
 
 class SnapshotTable:
-    """Versioned Parquet table with atomic snapshot commits + time travel."""
+    """Versioned Parquet table with atomic snapshot commits + time travel.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``stats_col`` declares a column whose per-data-dir min/max is recorded
+    at commit time (from the write job's own Observation — no extra read)
+    and used by :meth:`read`'s ``prune`` argument to skip directories whose
+    range cannot match — the manifest-stats pruning that makes selective
+    snapshot reads usable at scale (Iceberg's per-file column bounds,
+    rendered per-dir here).  Numeric or string columns only (the bounds
+    round-trip through JSON)."""
+
+    def __init__(
+        self, spark: SparkSession, root: str, stats_col: str | None = None
+    ):
         self.spark = spark
         self.root = root
+        self.stats_col = stats_col
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------- metadata
@@ -148,13 +175,31 @@ class SnapshotTable:
                 "pid": os.getpid(),
                 "claimed_at": datetime.now(timezone.utc).isoformat(),
             }))
-        data_dir = os.path.join(self.root, f"snap-{sid:05d}")
+        # unique-token dir name: a stale writer that re-claims a freed id
+        # (claims <= current are deleted by remove_orphans/expire) writes
+        # somewhere a committed snapshot's manifest can never point — the
+        # committed data survives, and the flip-time parent re-validation
+        # below rejects the stale commit, orphaning only this fresh dir
+        import uuid
+
+        data_dir = os.path.join(
+            self.root, f"snap-{sid:05d}-{uuid.uuid4().hex[:12]}"
+        )
         obs = Observation(f"snapshot-commit-{sid}")
+        metrics = [F.count(F.lit(1)).alias("rows")]
+        with_stats = self.stats_col is not None and self.stats_col in df.columns
+        if with_stats:
+            # column bounds ride the WRITE job's Observation — manifest
+            # stats cost zero extra reads (Iceberg computes per-file bounds
+            # the same way, from the writer)
+            metrics += [
+                F.min(self.stats_col).alias("smin"),
+                F.max(self.stats_col).alias("smax"),
+            ]
         try:
-            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-                "overwrite"
-            ).parquet(data_dir)
-            delta_rows = int(obs.get["rows"])
+            df.observe(obs, *metrics).write.mode("overwrite").parquet(data_dir)
+            got = obs.get
+            delta_rows = int(got["rows"])
         except Exception:
             # a failed WRITE (not a crash) must release the claim, or every
             # retry of this sid would see a spurious "already claimed"
@@ -171,12 +216,24 @@ class SnapshotTable:
         parent_entry = next(
             (s for s in meta["snapshots"] if s["id"] == parent), None
         )
+        dir_stats: dict = {}
         if append and parent_entry is not None:
             dirs = self._dirs_of(parent_entry) + [data_dir]
             rows = parent_entry["rows"] + delta_rows
+            # appends inherit the parent's delete set and dir bounds; a
+            # FULL rewrite materializes the subtraction and starts clean
+            delete_dirs = list(parent_entry.get("delete_dirs", []))
+            delete_key = parent_entry.get("delete_key")
+            dir_stats.update(parent_entry.get("dir_stats", {}))
         else:
             dirs = [data_dir]
             rows = delta_rows
+            delete_dirs = []
+            delete_key = None
+        if with_stats and delta_rows > 0:
+            dir_stats[data_dir] = [
+                _json_bound(got["smin"]), _json_bound(got["smax"])
+            ]
         entry = {
             "id": sid,
             "parent": parent,
@@ -187,6 +244,16 @@ class SnapshotTable:
             "written_at": datetime.now(timezone.utc).isoformat(),
             "note": note,
         }
+        if delete_dirs:
+            entry["delete_dirs"] = delete_dirs
+            entry["delete_key"] = delete_key
+        if dir_stats:
+            entry["dir_stats"] = dir_stats
+            # a reader-only table handle (stats_col=None) appending to a
+            # stats-carrying chain preserves the parent's declaration
+            entry["stats_col"] = self.stats_col or (
+                parent_entry.get("stats_col") if parent_entry else None
+            )
         if batch_id is not None:
             entry["batch_id"] = batch_id
         meta["snapshots"].append(entry)
@@ -195,6 +262,94 @@ class SnapshotTable:
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True)
         os.replace(tmp, self._meta_path())  # atomic pointer flip
+        return sid
+
+    def delete_where(
+        self, ids_df: DataFrame, key: str, note: str = ""
+    ) -> int:
+        """Iceberg-style EQUALITY-DELETE commit: write only the delete keys
+        as a new ``del-<sid>-<token>`` directory; the snapshot's manifest
+        references the parent's data dirs unchanged plus the delete dir,
+        and :meth:`read` subtracts matching rows with an anti-join.  Commit
+        cost is O(delete-set), never O(table) — the surface ``dedup_keep``
+        needs to curate a growing corpus without a full rewrite (the
+        round-5 gap: dropping duplicate ids cost a table rewrite).
+
+        All delete commits on one table must use the same ``key`` column.
+        A following :meth:`commit` (full rewrite, e.g.
+        :meth:`rewrite_data_files`) materializes the subtraction and clears
+        the delete set.  ``rows`` in the manifest keeps meaning rows in the
+        referenced DATA dirs (Iceberg semantics: net counts are not
+        maintained); ``delete_rows`` counts accumulated delete keys."""
+        import uuid
+
+        meta = self._load_meta()
+        parent = meta["current"]
+        if parent is None:
+            raise ValueError(f"{self.root}: cannot delete from an empty table")
+        parent_entry = next(
+            s for s in meta["snapshots"] if s["id"] == parent
+        )
+        prior_key = parent_entry.get("delete_key")
+        if prior_key is not None and prior_key != key:
+            raise ValueError(
+                f"{self.root}: table already carries equality deletes on "
+                f"{prior_key!r}; cannot mix with {key!r}"
+            )
+        sid = parent + 1
+        claim = os.path.join(self.root, f"claim-{sid:05d}")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"{self.root}: snapshot {sid} already claimed — parent "
+                f"{parent} is no longer current (concurrent commit); "
+                f"re-read and retry"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({
+                "pid": os.getpid(),
+                "claimed_at": datetime.now(timezone.utc).isoformat(),
+            }))
+        del_dir = os.path.join(
+            self.root, f"del-{sid:05d}-{uuid.uuid4().hex[:12]}"
+        )
+        obs = Observation(f"snapshot-delete-{sid}")
+        try:
+            ids_df.select(key).dropDuplicates([key]).observe(
+                obs, F.count(F.lit(1)).alias("rows")
+            ).write.mode("overwrite").parquet(del_dir)
+            delta_keys = int(obs.get["rows"])
+        except Exception:
+            os.unlink(claim)
+            raise
+        if self._load_meta()["current"] != parent:
+            raise CommitConflictError(
+                f"{self.root}: current moved past parent {parent} during "
+                f"delete commit of snapshot {sid}; keys at {del_dir} orphaned"
+            )
+        entry = {
+            "id": sid,
+            "parent": parent,
+            "path": del_dir,
+            "dirs": self._dirs_of(parent_entry),
+            "rows": parent_entry["rows"],
+            "delta_rows": 0,
+            "delete_dirs": parent_entry.get("delete_dirs", []) + [del_dir],
+            "delete_key": key,
+            "delete_rows": parent_entry.get("delete_rows", 0) + delta_keys,
+            "written_at": datetime.now(timezone.utc).isoformat(),
+            "note": note,
+        }
+        if parent_entry.get("dir_stats"):
+            entry["dir_stats"] = parent_entry["dir_stats"]
+            entry["stats_col"] = parent_entry.get("stats_col")
+        meta["snapshots"].append(entry)
+        meta["current"] = sid
+        tmp = self._meta_path() + f".tmp-{sid}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._meta_path())
         return sid
 
     # ---------------------------------------------------------- maintenance
@@ -236,6 +391,7 @@ class SnapshotTable:
         # deletes *unreachable* files, not every file the expired
         # snapshot's manifest listed)
         kept_dirs = {d for s in kept for d in self._dirs_of(s)}
+        kept_dirs |= {d for s in kept for d in s.get("delete_dirs", [])}
         for s in expired:
             if s["path"] not in kept_dirs:
                 shutil.rmtree(s["path"], ignore_errors=True)
@@ -253,41 +409,101 @@ class SnapshotTable:
         superseded deltas."""
         return self.commit(self.read(), note=note)
 
+    @staticmethod
+    def _name_sid(name: str) -> int | None:
+        """Snapshot id embedded in a ``snap-<sid>[-<token>]`` or
+        ``claim-<sid>`` entry name; None if unparsable."""
+        try:
+            return int(name.split("-")[1])
+        except (IndexError, ValueError):
+            return None
+
     def remove_orphans(self) -> list[str]:
         """Iceberg's ``remove_orphan_files``: delete ``snap-*`` data
         directories not referenced by any snapshot in the metadata log
         (crashed writers that claimed an id and wrote data but never
         flipped the pointer) plus claim sentinels for ids at or below
-        current (those commits completed; their claims are spent).  A
-        claim ABOVE current is left alone — it may be an in-flight
-        writer.  Returns the removed paths."""
+        current (those commits completed; their claims are spent).
+
+        Anything — claim OR data dir — whose id is ABOVE current is left
+        alone: it may belong to an in-flight writer that claimed the next
+        id and is still writing (the round-5 inconsistency: claims above
+        current were spared but the same writer's data dir was deleted).
+        An id at or below current cannot be in flight: its claim sentinel
+        excludes other writers until the commit completes, and current
+        only passes an id once that id's commit flipped the pointer.
+        Returns the removed paths."""
         import shutil
 
         meta = self._load_meta()
         referenced = {
             d for s in meta["snapshots"] for d in self._dirs_of(s)
         }
+        referenced |= {
+            d for s in meta["snapshots"] for d in s.get("delete_dirs", [])
+        }
         current = meta["current"] or 0
         removed: list[str] = []
         for name in sorted(os.listdir(self.root)):
             full = os.path.join(self.root, name)
-            if name.startswith("snap-") and os.path.isdir(full):
-                if full not in referenced:
+            sid = self._name_sid(name)
+            if sid is None:
+                continue
+            if (
+                name.startswith(("snap-", "del-")) and os.path.isdir(full)
+            ):
+                if full not in referenced and sid <= current:
                     shutil.rmtree(full, ignore_errors=True)
                     removed.append(full)
-            elif name.startswith("claim-"):
-                try:
-                    sid = int(name.split("-", 1)[1])
-                except ValueError:
-                    continue
-                if sid <= current:
-                    os.unlink(full)
-                    removed.append(full)
+            elif name.startswith("claim-") and sid <= current:
+                os.unlink(full)
+                removed.append(full)
         return removed
 
     # ----------------------------------------------------------------- read
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def pruned_dirs(
+        self, snapshot_id: int | None = None,
+        prune: tuple | None = None,
+    ) -> list[str]:
+        """Data dirs a read of ``snapshot_id`` would scan, after manifest
+        min/max pruning with ``prune = (lo, hi)`` on the declared stats
+        column (None bound = open-ended).  Dirs without recorded bounds are
+        conservatively kept.  Exposed so tests (and operators) can assert a
+        selective read really lists fewer directories."""
+        snap = self._snap_entry(snapshot_id)
+        dirs = self._dirs_of(snap)
+        if prune is None:
+            return dirs
+        lo, hi = prune
+        stats = snap.get("dir_stats", {})
+        kept = []
+        for d in dirs:
+            b = stats.get(d)
+            if b is None:
+                kept.append(d)  # no bounds recorded -> cannot prune
+                continue
+            dmin, dmax = b
+            if (hi is not None and dmin is not None and dmin > hi) or (
+                lo is not None and dmax is not None and dmax < lo
+            ):
+                continue  # range disjoint from the filter -> skip the dir
+            kept.append(d)
+        return kept
+
+    def _snap_entry(self, snapshot_id: int | None = None) -> dict:
+        meta = self._load_meta()
+        sid = snapshot_id if snapshot_id is not None else meta["current"]
+        if sid is None:
+            raise ValueError(f"{self.root}: no snapshot committed yet")
+        for snap in meta["snapshots"]:
+            if snap["id"] == sid:
+                return snap
+        raise ValueError(f"{self.root}: snapshot {sid} not found")
+
+    def read(
+        self, snapshot_id: int | None = None, prune: tuple | None = None
+    ) -> DataFrame:
         """Current table, or the table exactly as of ``snapshot_id``.
 
         Schema evolution across an append chain is additive (Iceberg's
@@ -295,19 +511,29 @@ class SnapshotTable:
         reads union the per-dir Parquet schemas (``mergeSchema``) and
         rows written before a column existed surface it as null.  Column
         drops/renames/retypes are NOT supported — Parquet footers carry
-        no field-id mapping here, so only name-stable addition is safe."""
-        meta = self._load_meta()
-        sid = snapshot_id if snapshot_id is not None else meta["current"]
-        if sid is None:
-            raise ValueError(f"{self.root}: no snapshot committed yet")
-        for snap in meta["snapshots"]:
-            if snap["id"] == sid:
-                dirs = self._dirs_of(snap)
-                reader = self.spark.read
-                if len(dirs) > 1:
-                    reader = reader.option("mergeSchema", "true")
-                return reader.parquet(*dirs)
-        raise ValueError(f"{self.root}: snapshot {sid} not found")
+        no field-id mapping here, so only name-stable addition is safe.
+
+        ``prune = (lo, hi)`` skips data dirs whose recorded min/max bounds
+        on the declared stats column cannot intersect [lo, hi] (see
+        :meth:`pruned_dirs`); the caller still applies its own row filter —
+        pruning only narrows which directories are scanned.
+
+        Equality deletes accumulated by :meth:`delete_where` are subtracted
+        with a left-anti join on the delete key; the delete side is tiny by
+        construction (one row per deleted key), so at scale it broadcasts."""
+        snap = self._snap_entry(snapshot_id)
+        dirs = self.pruned_dirs(snapshot_id, prune)
+        reader = self.spark.read
+        if len(dirs) > 1:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*dirs)
+        del_dirs = snap.get("delete_dirs", [])
+        if del_dirs:
+            keys = self.spark.read.parquet(*del_dirs).dropDuplicates(
+                [snap["delete_key"]]
+            )
+            df = df.join(F.broadcast(keys), snap["delete_key"], "left_anti")
+        return df
 
 
 def snapshot_dedup(
@@ -323,3 +549,34 @@ def snapshot_dedup(
     table = SnapshotTable(spark, root)
     res = dedup_pipeline(images, cfg or PipelineConfig())
     return table.commit(res.assignments, note=note)
+
+
+def snapshot_curate(
+    spark: SparkSession, root: str, cfg=None, id_col: str = "image_id",
+    note: str = "dedup curation",
+) -> int:
+    """Curation pass over a SnapshotTable OF IMAGES at ``root``: run the
+    flagship dedup pipeline on the CURRENT snapshot, keep one
+    representative per duplicate cluster (most caption tokens, ties to the
+    smallest id — the ``dedup_keep`` policy), and commit the dropped ids as
+    an O(delta) equality-delete — never a full table rewrite.  Readers
+    pinned to the pre-curation snapshot still see every row (time travel);
+    the new snapshot serves the deduplicated corpus.  Returns the new
+    snapshot id (the current one if nothing needed dropping)."""
+    from .config import PipelineConfig
+    from .operators.cluster import cluster_representatives
+    from .pipeline import dedup_pipeline
+
+    table = SnapshotTable(spark, root)
+    images = table.read()
+    res = dedup_pipeline(images, cfg or PipelineConfig())
+    quality = images.select(
+        id_col, F.size(F.split("caption", " ")).cast("long").alias("n_tokens")
+    )
+    keepers = cluster_representatives(
+        quality, res.assignments, quality_col="n_tokens", id_col=id_col
+    ).select(id_col)
+    drops = res.assignments.select(id_col).join(keepers, id_col, "left_anti")
+    if drops.limit(1).count() == 0:
+        return table.current_id()
+    return table.delete_where(drops, key=id_col, note=note)

@@ -41,7 +41,8 @@ def test_metadata_flip_is_atomic_pointer(spark, tmp_path):
     )
     assert t.current_id() == 1
     assert [r["id"] for r in t.read().collect()] == [1]
-    # the next commit claims id 2 and overwrites the dangling directory
+    # the next commit claims id 2 but writes its OWN token-named dir —
+    # it never touches (or trips over) the dangling directory
     t2 = t.commit(spark.createDataFrame([(2,)], "id long"))
     assert t2 == 2
     assert [r["id"] for r in t.read().collect()] == [2]
@@ -152,27 +153,79 @@ def test_expire_snapshots_keeps_current_drops_history(spark, tmp_path):
         t.expire_snapshots(keep_last=0)
 
 
-def test_remove_orphans_spares_inflight_claim(spark, tmp_path):
-    """remove_orphan_files semantics: unreferenced snap dirs (crashed
-    writers) and spent claims go; a claim above current (possible
-    in-flight writer) stays; referenced data stays readable."""
+def test_remove_orphans_spares_inflight_claim_and_dir(spark, tmp_path):
+    """remove_orphan_files semantics (round-5 advice): EVERYTHING above
+    current — claim AND data dir — is spared, because it may belong to an
+    in-flight writer that claimed the next id and is still writing.  Once
+    that id is superseded (claim manually cleared, another writer commits
+    it), the dangling dir's id is <= current and the sweep reclaims it."""
     root = str(tmp_path / "tbl")
     t = SnapshotTable(spark, root)
     t.commit(spark.createDataFrame([(1,)], "id long"))
     t.commit(spark.createDataFrame([(2,)], "id long"))
-    # crashed writer: claimed sid 3, wrote data, never flipped the pointer
+    # in-flight-or-crashed writer: claimed sid 3, wrote data, no flip yet
     open(os.path.join(root, "claim-00003"), "w").write("{}")
     spark.createDataFrame([(99,)], "id long").write.parquet(
-        os.path.join(root, "snap-00003")
+        os.path.join(root, "snap-00003-deadbeef0000")
     )
     removed = t.remove_orphans()
-    # spent claims (1, 2) and the orphan dir went; in-flight claim-00003 stays
-    assert os.path.join(root, "snap-00003") in removed
+    # spent claims (1, 2) went; BOTH sid-3 artifacts stay (possible in-flight)
     assert os.path.join(root, "claim-00001") in removed
-    assert not os.path.exists(os.path.join(root, "snap-00003"))
+    assert os.path.join(root, "claim-00002") in removed
+    assert os.path.exists(os.path.join(root, "snap-00003-deadbeef0000"))
     assert os.path.exists(os.path.join(root, "claim-00003"))
     assert t.current_id() == 2
     assert [r["id"] for r in t.read().collect()] == [2]
+    # manual recovery of the crashed writer: clear its claim, commit sid 3
+    os.unlink(os.path.join(root, "claim-00003"))
+    t.commit(spark.createDataFrame([(3,)], "id long"))
+    assert t.current_id() == 3
+    removed = t.remove_orphans()
+    # the dangling dir's sid is now <= current and provably dead -> swept;
+    # the committed snapshot's token-named dir is untouched
+    assert os.path.join(root, "snap-00003-deadbeef0000") in removed
+    assert not os.path.exists(os.path.join(root, "snap-00003-deadbeef0000"))
+    assert [r["id"] for r in t.read().collect()] == [3]
+
+
+def test_stale_writer_cannot_destroy_committed_data(spark, tmp_path):
+    """The round-5 advice race: writer A reads parent=1, stalls; writer B
+    commits snapshot 2; maintenance frees claim-2; A wakes, re-claims 2 and
+    writes — its token-named dir cannot collide with B's committed data,
+    and the flip-time parent re-validation rejects A's commit."""
+    from lsh_project_spark.table import CommitConflictError
+
+    root = str(tmp_path / "tbl")
+    a = SnapshotTable(spark, root)
+    b = SnapshotTable(spark, root)
+    a.commit(spark.createDataFrame([(1,)], "id long"))
+    # A reads the table state (parent=1) and stalls: emulate by letting B
+    # commit, then running maintenance that frees B's spent claim
+    b.commit(spark.createDataFrame([(2,)], "id long"), note="winner")
+    b.remove_orphans()  # frees claim-00002
+    committed = {r["id"] for r in b.read().collect()}
+    # A wakes with stale state and retries sid 2: the claim succeeds (it
+    # was freed), the write lands in a FRESH token dir, and the flip-time
+    # re-validation raises instead of clobbering B's snapshot
+    import json as _json
+    from unittest import mock
+
+    stale_meta = {"current": 1, "snapshots": b.snapshots()[:1]}
+    real_load = SnapshotTable._load_meta
+    calls = {"n": 0}
+
+    def stale_then_real(self):
+        calls["n"] += 1
+        return _json.loads(_json.dumps(stale_meta)) if calls["n"] == 1 else real_load(self)
+
+    with mock.patch.object(SnapshotTable, "_load_meta", stale_then_real):
+        with pytest.raises(CommitConflictError, match="orphaned"):
+            a.commit(spark.createDataFrame([(666,)], "id long"), note="stale")
+    # B's committed snapshot is fully intact
+    assert {r["id"] for r in b.read().collect()} == committed == {2}
+    # and the stale writer's orphaned dir is reclaimable
+    b.remove_orphans()
+    assert {r["id"] for r in b.read().collect()} == {2}
 
 
 def test_commit_append_manifest_and_time_travel(spark, tmp_path):
@@ -284,7 +337,7 @@ def test_rewrite_data_files_collapses_append_chain(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     t.remove_orphans()
     dirs = [n for n in os.listdir(str(tmp_path / "tbl")) if n.startswith("snap-")]
-    assert dirs == ["snap-00005"]
+    assert len(dirs) == 1 and dirs[0].startswith("snap-00005-")
     assert {r["id"] for r in t.read().collect()} == {0, 1, 2, 3}
 
 
@@ -326,3 +379,111 @@ def test_batch_id_skip_survives_interleaved_compaction(spark, tmp_path):
     ) == 4
     assert t.read().count() == 3
     assert len(t.snapshots()[-1]["dirs"]) == 2
+
+
+def test_delete_where_equality_deletes_and_time_travel(spark, tmp_path):
+    """Row-level deletes (round-5 verdict #6): append -> delete -> read
+    equals the subtracted set, with NO data-dir rewrite; time travel still
+    serves the pre-delete snapshot; appends on top of a delete chain work;
+    a full rewrite materializes the subtraction and clears the delete set."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.createDataFrame([(i,) for i in range(6)], "id long"))
+    data_dirs_before = set(t.snapshots()[-1]["dirs"])
+
+    sid = t.delete_where(
+        spark.createDataFrame([(1,), (3,), (77,)], "id long"), key="id",
+        note="drop dups",
+    )
+    assert sid == 2
+    # O(delta): the data dirs are untouched, only a del- dir was added
+    snap = t.snapshots()[-1]
+    assert set(snap["dirs"]) == data_dirs_before
+    assert len(snap["delete_dirs"]) == 1 and "del-00002-" in snap["delete_dirs"][0]
+    assert snap["delete_rows"] == 3  # nonexistent key 77 still counts as a key
+    assert {r["id"] for r in t.read().collect()} == {0, 2, 4, 5}
+    # time travel serves the pre-delete snapshot in full
+    assert {r["id"] for r in t.read(snapshot_id=1).collect()} == set(range(6))
+
+    # append on top of the delete chain: new rows visible, deletes still apply
+    t.commit_append(spark.createDataFrame([(10,), (1,)], "id long"))
+    assert {r["id"] for r in t.read().collect()} == {0, 2, 4, 5, 10}
+
+    # second delete accumulates; mixing key columns is rejected
+    t.delete_where(spark.createDataFrame([(0,)], "id long"), key="id")
+    assert {r["id"] for r in t.read().collect()} == {2, 4, 5, 10}
+    with pytest.raises(ValueError, match="equality deletes"):
+        t.delete_where(spark.createDataFrame([("x",)], "v string"), key="v")
+
+    # full rewrite materializes the subtraction and clears the delete set
+    t.rewrite_data_files()
+    last = t.snapshots()[-1]
+    assert "delete_dirs" not in last and last["rows"] == 4
+    assert {r["id"] for r in t.read().collect()} == {2, 4, 5, 10}
+
+
+def test_snapshot_curate_drops_duplicates_via_equality_delete(spark, tmp_path):
+    """snapshot_curate: dedup_keep over the current snapshot committed as
+    an O(delta) equality-delete — survivors are exactly one keeper per
+    cluster, history intact."""
+    from lsh_project_spark.sources.fixtures import images_table
+    from lsh_project_spark.table import snapshot_curate
+
+    root = str(tmp_path / "imgs")
+    t = SnapshotTable(spark, root)
+    imgs = images_table(spark, num_clusters=6, seed=11).cache()
+    n_before = imgs.count()
+    t.commit(imgs)
+
+    sid = snapshot_curate(spark, root)
+    assert sid == 2
+    survivors = t.read()
+    n_after = survivors.count()
+    assert 0 < n_after < n_before
+    # survivors are duplicate-free under the same pipeline: re-curating is
+    # a no-op (returns current id, no new snapshot)
+    assert snapshot_curate(spark, root) == 2
+    # pre-curation snapshot still serves every original row
+    assert t.read(snapshot_id=1).count() == n_before
+    # the delete commit reused the parent's data dirs (no rewrite)
+    assert set(t.snapshots()[-1]["dirs"]) == set(t.snapshots()[0]["dirs"])
+
+
+def test_manifest_stats_pruning_skips_disjoint_dirs(spark, tmp_path):
+    """Manifest min/max pruning (round-5 verdict #7): per-dir bounds on a
+    declared stats column are recorded at commit time and a selective read
+    lists FEWER dirs, with identical results to an unpruned filtered read."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_col="ts")
+    for lo in (0, 100, 200, 300):
+        t.commit_append(
+            spark.createDataFrame(
+                [(lo + j, f"r{lo+j}") for j in range(10)], "ts long, v string"
+            ),
+            note=f"hour {lo}",
+        )
+    all_dirs = t.pruned_dirs()
+    assert len(all_dirs) == 4
+    # selective window [100, 150]: only the second dir can match
+    sel = t.pruned_dirs(prune=(100, 150))
+    assert len(sel) == 1
+    got = {
+        r["ts"]
+        for r in t.read(prune=(100, 150)).filter("ts between 100 and 150").collect()
+    }
+    want = {
+        r["ts"]
+        for r in t.read().filter("ts between 100 and 150").collect()
+    }
+    assert got == want == set(range(100, 110))
+    # open-ended upper bound: only the [300, 309] dir reaches 250+
+    assert len(t.pruned_dirs(prune=(250, None))) == 1
+    assert len(t.pruned_dirs(prune=(None, 150))) == 2
+    # a reader handle with no stats_col declared still prunes (declaration
+    # travels in the manifest)
+    r = SnapshotTable(spark, str(tmp_path / "tbl"))
+    assert len(r.pruned_dirs(prune=(0, 50))) == 1
+    # time travel prunes within the as-of manifest
+    assert len(t.pruned_dirs(snapshot_id=2, prune=(250, None))) == 0
+    # stats survive a delete commit (dirs unchanged)
+    t.delete_where(spark.createDataFrame([(100,)], "ts long"), key="ts")
+    assert len(t.pruned_dirs(prune=(100, 150))) == 1
+    assert {r["ts"] for r in t.read(prune=(100, 150)).filter("ts <= 150").collect()} == set(range(101, 110))

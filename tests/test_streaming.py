@@ -242,6 +242,84 @@ def test_incremental_merge_of_existing_clusters(spark, tmp_path):
     }
 
 
+def test_incremental_rearriving_id_keeps_stored_label(spark, tmp_path):
+    """An id that RE-ARRIVES in a later micro-batch (round-5 advice): its
+    prior assignment must seed the union-find, and the store must NOT gain
+    a second, conflicting row.  The adversarial shape is a re-arrival whose
+    new content links to nothing — the round-5 code seeded it from itself
+    (base[i] = i) and appended (a3, a3) next to the stored (a3, a0), making
+    assignments() nondeterministic under dropDuplicates."""
+    import numpy as np
+    import pandas as pd
+
+    from lsh_project_spark.sources.fixtures import IMAGES_SCHEMA
+
+    def mk(ids, caption, phash):
+        n = len(ids)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bytes": [None] * n,
+                    "w": np.int32(8),
+                    "h": np.int32(8),
+                    "fmt": "png",
+                    "caption": caption,
+                    "phash": np.int64(phash),
+                    "true_cluster_id": np.int64(0),
+                }
+            ),
+            IMAGES_SCHEMA,
+        )
+
+    cap = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    cfg = PipelineConfig(substring_enabled=False)
+    inc = IncrementalDedup(spark, str(tmp_path / "state"), cfg)
+    inc.process_batch(mk([f"a{i}" for i in range(4)], cap, 1111), 0)
+    before = {
+        (r["image_id"], r["cluster_id"]) for r in inc.assignments().collect()
+    }
+    assert before == {(f"a{i}", "a0") for i in range(4)}
+
+    # a3 re-arrives with content that matches NOTHING (fresh caption, far
+    # phash): no pairs form, so only the prior-label lookup can keep it in
+    # its cluster
+    inc.process_batch(
+        mk(["a3"], "completely different words with no overlap at all", 1 << 40),
+        1,
+    )
+
+    store = spark.read.parquet(inc.assign_store_path)
+    a3_rows = store.filter(F.col("image_id") == "a3").collect()
+    assert len(a3_rows) == 1, f"re-arrival appended a duplicate row: {a3_rows}"
+    assert a3_rows[0]["cluster_id"] == "a0"
+    after = {
+        (r["image_id"], r["cluster_id"]) for r in inc.assignments().collect()
+    }
+    assert after == before
+    assert after == {
+        (r["image_id"], r["cluster_id"])
+        for r in inc.assignments_recomputed().collect()
+    }
+
+    # re-arrival that BRIDGES: a3 comes back matching a brand-new family's
+    # caption — its stored root and the new ids must land in one cluster,
+    # identically to the full recompute
+    inc.process_batch(
+        mk(["a3", "c0", "c1"], "one two three four five six seven eight nine ten", 1 << 40),
+        2,
+    )
+    incr = {
+        (r["image_id"], r["cluster_id"]) for r in inc.assignments().collect()
+    }
+    assert incr == {
+        (r["image_id"], r["cluster_id"])
+        for r in inc.assignments_recomputed().collect()
+    }
+    assert {c for i, c in incr if i in {"a0", "a3", "c0", "c1"}} == {"a0"}
+    assert len(store.filter(F.col("image_id") == "a3").collect()) == 1
+
+
 def test_streaming_store_side_hot_bucket_cap(spark, tmp_path):
     """A degenerate bucket ACCUMULATED IN THE STORE (round-4 advice): a new
     batch hitting it must produce bounded candidates — the store side is
