@@ -98,7 +98,16 @@ class SubstringConfig:
     # text this is NOT a character count — the DuckDB oracles gram over
     # octets to match)
     min_length: int = 50
-    kgram: int = 20
+    # k-gram width trades fingerprint volume against false-candidate rate
+    # while the ACCEPT SET stays exactly "LCS >= min_length" for any k
+    # (the winnow guarantee k + w - 1 = min_length holds by construction
+    # of `window`).  Round-5 ran k=20: any shared 20-byte gram became a
+    # candidate — ~1.0M candidate pairs per 66k-image bench shard, 98% of
+    # them rejected by the LCS verify, which made the Python cogroup the
+    # single hottest stage of the whole pipeline.  k=35 makes a candidate
+    # require a shared 35-byte winnowed gram: measured 41k scan pairs on
+    # the same shard (24x fewer) for 2.6x more (narrow) fingerprint rows.
+    kgram: int = 35
     seed: int = 991
 
     @property

@@ -358,18 +358,58 @@ def substring_pairs(
         hot_bucket_threshold=hot_threshold,
         min_shared_buckets=min_shared_fps,
     )
+    # EQUAL-TEXT fast path, fully JVM-side: for byte-identical texts the
+    # diagonal-run LCS is exactly the text's byte length (all L-g+1 grams
+    # shared, one diagonal), so pairs whose (xxhash64, octet_length) match
+    # are accepted with lcs_len = octet_length WITHOUT shipping texts to
+    # the Python cogroup — and duplicate-heavy corpora are dominated by
+    # exact caption copies, so this removes most ACCEPTED pairs (and their
+    # 2G-1 text copies) from the expensive verify stage.  Equality via a
+    # 64-bit hash + length is the same negligible-collision class as the
+    # 62-bit gram fingerprints the candidate stage already relies on.
+    # Equal texts SHORTER than min_length are exact rejects (their LCS is
+    # their full length), so they skip the scan too.
+    meta = docs.select(
+        F.col(id_col).alias("_mid"),
+        F.xxhash64(text_col).alias("_th"),
+        F.octet_length(text_col).cast("long").alias("_tl"),
+    )
+    cands = (
+        cands.join(
+            meta.select(F.col("_mid").alias("a"), F.col("_th").alias("_tha"),
+                        F.col("_tl").alias("_tla")), "a")
+        .join(
+            meta.select(F.col("_mid").alias("b"), F.col("_th").alias("_thb"),
+                        F.col("_tl").alias("_tlb")), "b")
+    )
+    # the candidate set feeds THREE branches (equal-text accepts, the
+    # cogroup pair side, and the doc-need list); checkpoint it so the
+    # winnow + salted-candidate + meta-join subtree runs once, not once
+    # per branch.  (a, b, hash, len) rows are compact — far smaller than
+    # the signature table that produced them.
+    spark = docs.sparkSession
+    reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    cands = cands.checkpoint(eager=False) if reliable else cands.localCheckpoint(
+        eager=False
+    )
+    min_len = cfg.min_length
+    a_type = dict(docs.dtypes)[id_col]
+    eq = (F.col("_tha") == F.col("_thb")) & (F.col("_tla") == F.col("_tlb"))
+    equal_pairs = (
+        cands.filter(eq & (F.col("_tla") >= min_len))
+        .select("a", "b", F.col("_tla").alias("lcs_len"))
+    )
+    scan_cands = cands.filter(~eq).select("a", "b")
     G = grid
-    cells = cands.select(
+    cells = scan_cands.select(
         "a",
         "b",
         (F.pmod(F.xxhash64("a"), F.lit(G)) * G + F.pmod(F.xxhash64("b"), F.lit(G))).alias("cell"),
     )
-    # the pair set feeds BOTH cogroup sides (pairs + the doc-need list);
-    # checkpoint it so the winnow + salted-candidate subtree runs once,
-    # not once per branch.  (a, b, cell) rows are compact — far smaller
-    # than the signature table that produced them.
-    spark = docs.sparkSession
-    reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    # the cell table still feeds BOTH cogroup sides (pairs + the doc-need
+    # list); its own checkpoint (a cheap projection of the checkpointed
+    # candidate set) keeps the cogroup's two plans from sharing a live
+    # subtree, which trips Spark's ambiguous-self-join analysis
     cells = cells.checkpoint(eager=False) if reliable else cells.localCheckpoint(
         eager=False
     )
@@ -383,8 +423,6 @@ def substring_pairs(
     cell_docs = need.join(
         docs.select(id_col, F.col(text_col).alias("_t")), id_col
     ).select(F.col("cell").alias("dcell"), id_col, "_t")
-    min_len = cfg.min_length
-    a_type = dict(docs.dtypes)[id_col]
 
     def verify(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pairs_pdf):
@@ -412,8 +450,9 @@ def substring_pairs(
         out["lcs_len"] = lens
         return out[out["lcs_len"] >= min_len]
 
-    return (
+    scanned = (
         cells.groupby("cell")
         .cogroup(cell_docs.groupby("dcell"))
         .applyInPandas(verify, schema=f"a {a_type}, b {a_type}, lcs_len long")
     )
+    return equal_pairs.unionByName(scanned)
