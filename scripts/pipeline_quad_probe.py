@@ -47,6 +47,13 @@ sys.path.insert(0, REPO)
 
 SRC = "/tmp/bench_images_root_testdata_sf0.1_x40.parquet"
 SHARD = "/tmp/pipequad_shard_{i}.parquet"
+# CODE EPOCH: bump when the measured job changes materially, so the
+# min-over-invocations protocol never mixes walls of different code (the
+# round-6 substring rework made the pipeline ~1.7x faster — combining its
+# runs with round-5 invocations would pair a new-code solo minimum with an
+# old-code quad minimum and report a meaningless ratio).  Prior epochs'
+# raw runs stay in the artifact under `prior_epochs` for audit.
+EPOCH = "r6-substring-k35-fastpath"
 USE_SHM = os.environ.get("SPARK_GRAFT_PROBE_SHM", "1") == "1"
 CHILD_REPS = int(os.environ.get("SPARK_GRAFT_PIPEQUAD_REPS", "2"))
 # pinned to the DATA (one shard's volume), identical inside every unit
@@ -341,6 +348,23 @@ def main() -> None:
         with open(jpath) as f:
             prior = json.load(f)
         runs = prior.get("runs", [])
+    if prior and prior.get("epoch") != EPOCH:
+        # the measured code changed: archive the old epoch's raw runs and
+        # start the min-protocol fresh (see EPOCH comment above)
+        archived = prior.setdefault("prior_epochs", [])
+        archived.append({
+            "epoch": prior.get("epoch", "pre-r6"),
+            "runs": runs,
+            "process_scaling_efficiency": prior.get(
+                "process_scaling_efficiency"
+            ),
+        })
+        prior = {
+            "prior_epochs": archived,
+            **{k: v for k, v in prior.items() if k == "hw_ceiling"},
+        }
+        runs = []
+    this_run["epoch"] = EPOCH
     runs.append(this_run)
     best_solo = min((r["solo_4c"] for r in runs), key=lambda s: s["wall"])
     best_quad = min(runs, key=lambda r: r["quad_concurrent_mean_wall"])
@@ -348,6 +372,7 @@ def main() -> None:
     out = {
         # keep keys other invocation modes own (e.g. --hw's hw_ceiling)
         **prior,
+        "epoch": EPOCH,
         "runs": runs,
         "solo_4c": best_solo,
         "quad_units": best_quad["quad_units"],
@@ -432,8 +457,11 @@ volume on 16 cores, per-unit /dev/shm storage).  Each phase is min-of-
 invoked repeatedly because this VM's co-tenant variance is 2-4x (see the
 two-process contention probe above): contention only ever INFLATES a
 wall, so the per-phase minimum over invocations is the tightest upper
-bound on the true wall, and the headline is computed from those minima.
-All raw invocations (BENCH/PIPELINE_QUAD.json `runs`):
+bound on the true wall, and the headline is computed from those minima —
+over invocations of the CURRENT code epoch only
+(`{out.get('epoch', 'pre-r6')}`; earlier epochs' raw runs are archived in
+BENCH/PIPELINE_QUAD.json `prior_epochs`, never mixed into the ratio).
+All raw invocations of this epoch:
 
 | invocation | solo wall (s) | quad walls (s) | quad mean | per-run eff |
 |---|---|---|---|---|
