@@ -132,6 +132,25 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
     target = spark.sparkContext.defaultParallelism
     if slim.rdd.getNumPartitions() < target:
         slim = slim.repartition(target)
+    # Narrow the hot path to 8-byte keys: every shuffle between here and
+    # the final map-back (two collect_list aggregation levels, pair dedup,
+    # the verify self-joins, and every CC round) moves xxhash64(image_id)
+    # longs instead of variable-length id strings — the byte attribution
+    # (scripts/probe_bytes.py) showed those ObjectHashAggregate/Generate
+    # stages own most of the pipeline's shuffle volume, and the quad-probe
+    # hardware bracket pins the scaling shortfall on shared-DRAM bytes.
+    # Components are invariant under the key swap (hot-bucket star edges
+    # keep each bucket connected regardless of which member is the hub;
+    # cold pairs / verify / substring accepts are id-independent), and the
+    # map-back relabels every cluster to its min STRING id, so the output
+    # is bit-identical to the string-keyed plan.  Collision risk is the
+    # same negligible class as the 62-bit fingerprints the candidate stage
+    # already relies on (~n^2/2^65); a 100 TB deployment would mint dense
+    # int64 ids at ingest instead of hashing.
+    idmap = slim.select(F.xxhash64("image_id").alias("hid"), "image_id")
+    slim = slim.select(
+        F.xxhash64("image_id").alias("image_id"), "caption", "phash"
+    )
     profile = multimodal_profile(slim, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = profile_signatures(profile, cfg)
     dstats: dict = {}
@@ -161,10 +180,36 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
     # or the distributed loop's seed checkpoint) — persist so the verify
     # join chain runs once
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    assignments = assign_clusters(profile, pairs, id_col="image_id")
+    assignments_h = assign_clusters(profile, pairs, id_col="image_id")
+    # Map back to string ids and relabel each cluster to its min member
+    # STRING id — exactly the label the string-keyed plan (and the DuckDB
+    # recursive-CTE oracle) produces.  idmap is one narrow row per input
+    # row; AQE broadcasts it at bench scale, and at warehouse scale these
+    # are the only two string shuffles left in the whole pipeline.
+    named = (
+        assignments_h.withColumnRenamed("image_id", "_hid")
+        .join(idmap, F.col("_hid") == idmap["hid"])
+        .select("image_id", F.col("cluster_id").alias("_ch"))
+    )
+    labels = named.groupBy("_ch").agg(F.min("image_id").alias("cluster_id"))
+    assignments = named.join(labels, "_ch").select("image_id", "cluster_id")
+    map_a = idmap.select(
+        F.col("hid").alias("_ha"), F.col("image_id").alias("_ia")
+    )
+    map_b = idmap.select(
+        F.col("hid").alias("_hb"), F.col("image_id").alias("_ib")
+    )
+    pairs_str = (
+        pairs.join(map_a, pairs["a"] == F.col("_ha"))
+        .join(map_b, pairs["b"] == F.col("_hb"))
+        .select(
+            F.least("_ia", "_ib").alias("a"),
+            F.greatest("_ia", "_ib").alias("b"),
+        )
+    )
     return PipelineResult(
         assignments=assignments,
-        verified_pairs=pairs,
+        verified_pairs=pairs_str,
         drop_stats=dstats.get("df"),
     )
 
