@@ -152,11 +152,18 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
         F.xxhash64("image_id").alias("image_id"), "caption", "phash"
     )
     profile = multimodal_profile(slim, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = profile_signatures(profile, cfg)
+    # pack (modality, band, bucket) into one 64-bit key: the salted
+    # aggregation, its bucket-total window, and the cold regroup all key on
+    # it, so one long instead of three columns narrows every one of those
+    # shuffles.  A cross-bucket hash collision (~rows^2/2^65) can only MERGE
+    # two buckets, adding false candidates the exact verify removes.
+    sigs = profile_signatures(profile, cfg).select(
+        "image_id", F.xxhash64("modality", "band", "bucket").alias("bucket")
+    )
     dstats: dict = {}
     cands = candidate_pairs(
         sigs,
-        bucket_cols=("modality", "band", "bucket"),
+        bucket_cols=("bucket",),
         hot_bucket_threshold=cfg.hot_bucket_threshold,
         drop_stats=dstats,
     )
