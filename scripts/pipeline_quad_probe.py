@@ -53,7 +53,7 @@ SHARD = "/tmp/pipequad_shard_{i}.parquet"
 # runs with round-5 invocations would pair a new-code solo minimum with an
 # old-code quad minimum and report a meaningless ratio).  Prior epochs'
 # raw runs stay in the artifact under `prior_epochs` for audit.
-EPOCH = "r6-substring-k35-fastpath"
+EPOCH = "r6-longkey"
 USE_SHM = os.environ.get("SPARK_GRAFT_PROBE_SHM", "1") == "1"
 CHILD_REPS = int(os.environ.get("SPARK_GRAFT_PIPEQUAD_REPS", "2"))
 # pinned to the DATA (one shard's volume), identical inside every unit
