@@ -146,7 +146,15 @@ def run_dedup(spark) -> tuple[float, int, dict]:
 
     stages: dict = {}
     staged_reps: list[dict] = []
-    slim = images.select("image_id", "caption", "phash")
+    import pyspark.sql.functions as F
+
+    # mirror dedup_pipeline's long-key hot path exactly (hashed 8-byte ids,
+    # packed 64-bit bucket key) so each stage wall prices the stage the
+    # production plan actually runs — attributing a long-key e2e with
+    # string-keyed stage re-executions would misprice every stage
+    slim = images.select(
+        F.xxhash64("image_id").alias("image_id"), "caption", "phash"
+    )
     drop_stats: dict = {}
     n_cands = n_verified = 0
     for _rep in range(_E2E_REPS):
@@ -161,8 +169,11 @@ def run_dedup(spark) -> tuple[float, int, dict]:
         t = time.time()
         drop_stats = {}
         cands = candidate_pairs(
-            profile_signatures(profile, cfg),
-            bucket_cols=("modality", "band", "bucket"),
+            profile_signatures(profile, cfg).select(
+                "image_id",
+                F.xxhash64("modality", "band", "bucket").alias("bucket"),
+            ),
+            bucket_cols=("bucket",),
             hot_bucket_threshold=cfg.hot_bucket_threshold,
             drop_stats=drop_stats,
         ).persist()
@@ -183,7 +194,6 @@ def run_dedup(spark) -> tuple[float, int, dict]:
         )
         if cfg.substring_enabled:
             from lsh_project_spark.operators.substring import substring_pairs
-            import pyspark.sql.functions as F
 
             t = time.time()
             substring_pairs(
@@ -229,6 +239,11 @@ def run_dedup(spark) -> tuple[float, int, dict]:
     # per-rep staged dicts: each rep's stage walls sum to its staged_total,
     # so a sigs-only move MUST show up in a named stage (round-5 verdict #3)
     model["staged_reps_raw"] = staged_reps
+    # methodology marker: round 6 changed the attribution from separate
+    # per-stage re-executions (rounds <= 5) to sequential stages inside one
+    # run with materialization barriers — per-stage walls are NOT
+    # comparable to rounds <= 5, and staged_total >= the barrier-free e2e
+    model["staged_methodology"] = "sequential-in-one-run (since r6)"
     return wall, n, stages, model
 
 
