@@ -486,10 +486,20 @@ structure and no near-dup pair straddles shards.)
 
 | surface | rendering | efficiency |
 |---|---|---|
-| full dedup pipeline | single-JVM thread scaling 2 -> 8 cores | see headline at top |
+| full dedup pipeline | single-JVM thread scaling 2 -> 8c, 66,670 rows (26 s walls, latency-bound; r6 HEAD) | 0.491 |
+| full dedup pipeline | single-JVM thread scaling 2 -> 8c, 266,680 rows (headline at top; r6 HEAD) | 0.691 |
 | full dedup pipeline | 4 executor-shaped JVM processes (this section) | **{out['process_scaling_efficiency']:.3f}** |
 | connected components | 4 executor-shaped JVM processes | **{_cc_process_eff()}** |
 | Spark-free hardware ceiling | compute-shaped / DRAM-shaped burns | {(hw or {}).get('compute', {}).get('ceiling', 'n/a')} / {(hw or {}).get('bandwidth', {}).get('ceiling', 'n/a')} |
+
+Single-JVM throughput ladder at r6 HEAD (same job, min-of-2 cold runs):
+2c/66k -> 1328 img/s, 2c/267k -> 1385, 8c/267k -> 3831, 32c/1.07M ->
+4084 ([261.2, 283.4] s walls).  One JVM saturates past ~8 threads — the
+shared allocator/GC/memory-controller wall the process rendering
+escapes: four INDEPENDENT 4-core JVMs sustain 4 x 66,670 / 38.5 s =
+6927 img/s on 16 cores (quietest invocation), 1.7x the 32-thread
+single JVM on HALF the cores.  A 1000-executor deployment is the
+process rendering, not the thread ladder.
 
 Reading: job structure scales — per-unit core utilization holds at ~0.9
 from N to 4N in every rendering, and the modality whose byte traffic is
