@@ -345,7 +345,18 @@ def near_dup_pairs(
     target = spark.sparkContext.defaultParallelism
     if vectors.rdd.getNumPartitions() < target:
         vectors = vectors.repartition(target)
-    sig = portable_signatures(vectors, planes, bits, id_col, vec_col, dim)
+    # 8-byte keys through the hot path (same discipline as the image
+    # pipeline, pipeline.py): signatures, the salted candidate
+    # aggregation, and the exact-cosine verify joins all move
+    # xxhash64(id) longs; string ids rejoin via the narrow id map at the
+    # end, where least/greatest restores id_a < id_b by STRING order —
+    # the accept SET is invariant (cosine is symmetric), so the output
+    # is bit-identical to the string-keyed plan.
+    idmap = vectors.select(F.xxhash64(id_col).alias("_h"), id_col)
+    slim = vectors.select(
+        F.xxhash64(id_col).alias(id_col), F.col(vec_col)
+    )
+    sig = portable_signatures(slim, planes, bits, id_col, vec_col, dim)
     cands = candidate_pairs(
         sig, id_col=id_col, bucket_cols=("table_idx", "bucket"),
         hot_bucket_threshold=hot_bucket_threshold, salt_groups=salt_groups,
@@ -359,16 +370,25 @@ def near_dup_pairs(
         "sqrt(aggregate(transform({v}, x -> cast(x as double) * "
         "cast(x as double)), cast(0 as double), (acc, v) -> acc + v))"
     )
-    return (
+    accepted = (
         cands.join(
-            vectors.select(F.col(id_col).alias("id_a"),
-                           F.col(vec_col).alias("va")), "id_a")
+            slim.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va")), "id_a")
         .join(
-            vectors.select(F.col(id_col).alias("id_b"),
-                           F.col(vec_col).alias("vb")), "id_b")
+            slim.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb")), "id_b")
         .filter(F.expr(
             f"({dot}) / (({norm.format(v='va')}) * ({norm.format(v='vb')}))"
             f" >= {threshold!r}"
         ))
         .select("id_a", "id_b")
+    )
+    map_a = idmap.select(F.col("_h").alias("id_a"), F.col(id_col).alias("_sa"))
+    map_b = idmap.select(F.col("_h").alias("id_b"), F.col(id_col).alias("_sb"))
+    return (
+        accepted.join(map_a, "id_a").join(map_b, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("id_a"),
+            F.greatest("_sa", "_sb").alias("id_b"),
+        )
     )
