@@ -351,7 +351,33 @@ def substring_pairs(
     memory is (docs touching the cell) x doc size — pick ``grid`` so cells
     fit an executor (G^2 cells; doubling G halves per-cell payload at the
     cost of one extra text copy per doc).
+
+    String ids are hashed to int64 at entry and mapped back at the end
+    (least/greatest restores a < b by string order), so the fingerprint
+    join, candidate aggregation, and cell cogroup all move 8-byte keys —
+    the same long-key discipline as the image pipeline, which already
+    passes hashed ids in.  Accepts and lcs_len are id-independent, so the
+    output is bit-identical either way.
     """
+    if dict(docs.dtypes)[id_col] == "string":
+        idmap = docs.select(F.xxhash64(id_col).alias("_h"), F.col(id_col))
+        hashed = docs.select(
+            F.xxhash64(id_col).alias(id_col), F.col(text_col)
+        )
+        out = substring_pairs(
+            hashed, cfg, id_col, text_col, hot_threshold, grid,
+            min_shared_fps,
+        )
+        ma = idmap.select(F.col("_h").alias("a"), F.col(id_col).alias("_sa"))
+        mb = idmap.select(F.col("_h").alias("b"), F.col(id_col).alias("_sb"))
+        return (
+            out.join(ma, "a").join(mb, "b")
+            .select(
+                F.least("_sa", "_sb").alias("a"),
+                F.greatest("_sa", "_sb").alias("b"),
+                "lcs_len",
+            )
+        )
     fps = winnowed_fingerprints(docs, cfg, id_col, text_col)
     cands = candidate_pairs(
         fps, id_col=id_col, bucket_cols=("fp",),
