@@ -130,17 +130,32 @@ def checkpointed_dedup(
     )
 
     cfg = cfg or PipelineConfig()
-    cp = CheckpointedPipeline(spark, root, cfg.config_hash())
+    # "+longkey" salts every stage key: stage keys are name+config+parents
+    # (not content), so without the salt a resume could mix checkpoints of
+    # the pre-round-6 string-keyed composition with the hashed-id stages
+    # below — the map-back join would then see string ids where it expects
+    # int64 hashes.  Old roots are simply rebuilt, never misread.
+    cp = CheckpointedPipeline(spark, root, cfg.config_hash() + "+longkey")
 
     slim = images.select("image_id", "caption", "phash")
+    # same 8-byte hot path as dedup_pipeline (see pipeline.py): hashed ids
+    # through every checkpointed stage, string ids rejoin in the
+    # assignments stage via map_back_assignments
+    idmap = slim.select(F.xxhash64("image_id").alias("hid"), "image_id")
+    slim = slim.select(
+        F.xxhash64("image_id").alias("image_id"), "caption", "phash"
+    )
     profile = cp.stage("profile", [], lambda: multimodal_profile(slim, cfg))
     dstats: dict = {}
     cands = cp.stage(
         "candidates",
         ["profile"],
         lambda: candidate_pairs(
-            profile_signatures(profile, cfg),
-            bucket_cols=("modality", "band", "bucket"),
+            profile_signatures(profile, cfg).select(
+                "image_id",
+                F.xxhash64("modality", "band", "bucket").alias("bucket"),
+            ),
+            bucket_cols=("bucket",),
             hot_bucket_threshold=cfg.hot_bucket_threshold,
             drop_stats=dstats,
         ),
@@ -165,7 +180,7 @@ def checkpointed_dedup(
             "substring_pairs",
             [],
             lambda: substring_pairs(
-                images.select("image_id", F.col("caption").alias("text")),
+                slim.select("image_id", F.col("caption").alias("text")),
                 cfg.substring,
                 id_col="image_id",
                 text_col="text",
@@ -173,8 +188,12 @@ def checkpointed_dedup(
         )
         pairs = pairs.unionByName(sub).dropDuplicates(["a", "b"])
         asg_parents.append("substring_pairs")
+    from .pipeline import map_back_assignments
+
     return cp.stage(
         "assignments",
         asg_parents,
-        lambda: assign_clusters(profile, pairs, id_col="image_id"),
+        lambda: map_back_assignments(
+            assign_clusters(profile, pairs, id_col="image_id"), idmap
+        ),
     )

@@ -111,6 +111,22 @@ def verify_pairs_multimodal(
     )
 
 
+def map_back_assignments(assignments_h: DataFrame, idmap: DataFrame) -> DataFrame:
+    """(hashed image_id, hashed cluster_id) -> (image_id, cluster_id) with
+    every cluster relabeled to its min member STRING id — exactly the label
+    the string-keyed plan (and the DuckDB recursive-CTE oracle) produces.
+    ``idmap`` is the narrow (hid, image_id) map, one row per input row; AQE
+    broadcasts it at bench scale, and at warehouse scale these are the only
+    two string shuffles left in the whole pipeline."""
+    named = (
+        assignments_h.withColumnRenamed("image_id", "_hid")
+        .join(idmap, F.col("_hid") == idmap["hid"])
+        .select("image_id", F.col("cluster_id").alias("_ch"))
+    )
+    labels = named.groupBy("_ch").agg(F.min("image_id").alias("cluster_id"))
+    return named.join(labels, "_ch").select("image_id", "cluster_id")
+
+
 def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
     """Production path: ONE fused Arrow-vectorized signature stage
     (operators/profile.py — the reference's bulked model), a single unified
@@ -188,18 +204,7 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
     # join chain runs once
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     assignments_h = assign_clusters(profile, pairs, id_col="image_id")
-    # Map back to string ids and relabel each cluster to its min member
-    # STRING id — exactly the label the string-keyed plan (and the DuckDB
-    # recursive-CTE oracle) produces.  idmap is one narrow row per input
-    # row; AQE broadcasts it at bench scale, and at warehouse scale these
-    # are the only two string shuffles left in the whole pipeline.
-    named = (
-        assignments_h.withColumnRenamed("image_id", "_hid")
-        .join(idmap, F.col("_hid") == idmap["hid"])
-        .select("image_id", F.col("cluster_id").alias("_ch"))
-    )
-    labels = named.groupBy("_ch").agg(F.min("image_id").alias("cluster_id"))
-    assignments = named.join(labels, "_ch").select("image_id", "cluster_id")
+    assignments = map_back_assignments(assignments_h, idmap)
     map_a = idmap.select(
         F.col("hid").alias("_ha"), F.col("image_id").alias("_ia")
     )
