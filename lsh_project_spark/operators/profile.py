@@ -51,10 +51,9 @@ def profile_schema(id_type: str = "string") -> str:
 
 
 def _shingle_set(text: str, k: int) -> list[str]:
-    toks = text.split(" ")
-    if len(toks) <= k:
-        return [text]
-    return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+    from ..functions.textsig import shingle_set
+
+    return shingle_set(text, k)
 
 
 def _caption_block(
@@ -68,48 +67,29 @@ def _caption_block(
     no per-shingle Python (round 2's per-unique-shingle md5 loop was 64% of
     e2e wall; the polynomial family removed it).  MinHash minima and SimHash
     bit votes run as segment reductions (np.minimum/add.reduceat) over one
-    flat matrix — no per-document numpy call overhead.
+    flat matrix — no per-document numpy call overhead.  The kernels live in
+    functions/textsig.py and are shared with the standalone per-modality
+    operators (operators/signatures.py), so the fused profile and the band
+    tables are bit-identical by construction.
 
     Returns (hs int32 arrays, mh band arrays, simhash ints) per doc.
     h32 = h62 % 2^32 (stored int32-shifted), h56 = h62 >> 4 — one hash
     serves every consumer, matching the SQL renderings exactly."""
-    P = PORTABLE_HASH_MOD
+    from ..functions.textsig import (
+        minhash_bands_from_block,
+        shingle_hash_block,
+        simhash_from_block,
+    )
+
     n = len(texts)
-    sh_lists = [_shingle_set(t, k) for t in texts]
-    lengths = np.array([len(s) for s in sh_lists], dtype=np.int64)
-    flat = np.array([s for lst in sh_lists for s in lst], dtype=object)
-    uniq, inv = np.unique(flat, return_inverse=True)
-    h60_uniq = portable_hash62_np(uniq)
-    starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(lengths[:-1], out=starts[1:])
-
-    # expensive per-shingle work (int64 modmul, bit unpack) runs on the
-    # UNIQUE shingles only (typically 5-10x fewer than flat occurrences —
-    # small vocabularies repeat shingles heavily), then fans out to the
-    # per-document segments with one gather.  Cuts both the modmul count
-    # and the peak temporary size ~8x (large temporaries were churning
-    # enough pages to keep khugepaged busy on a whole core).
-    h32u = h60_uniq % H32
-    vals_u = (h32u[:, None] * a[None, :] + b[None, :]) % P  # [U, P]
-    sig = np.minimum.reduceat(vals_u[inv], starts, axis=0)  # [n, P]
-    terms = ((sig % H32) * c) % P
-    mh_bands = terms.reshape(n, n_bands, rpb).sum(axis=2)
-
-    # simhash votes: ±1 per unique shingle bit (int8), gathered then
-    # widened to int32 for the segment sum (doc-size safe); two independent
-    # fingerprints (plain + salted hash62), see SimHashConfig
-    def _fingerprints(h60s: np.ndarray) -> list[int]:
-        h56u = h60s >> 4
-        bits_u = (
-            2 * ((h56u[:, None] >> np.arange(56, dtype=np.int64)[None, :]) & 1) - 1
-        ).astype(np.int8)  # [U, 56]
-        votes = np.add.reduceat(bits_u[inv].astype(np.int32), starts, axis=0)
-        weights = np.int64(1) << np.arange(56, dtype=np.int64)
-        return [int(x) for x in np.where(votes > 0, weights[None, :], 0).sum(axis=1)]
-
-    simhashes = _fingerprints(h60_uniq)
+    uniq, inv, starts, lengths, h60_uniq = shingle_hash_block(texts, k)
+    mh_bands = minhash_bands_from_block(
+        h60_uniq, inv, starts, a, b, c, n_bands, rpb
+    )
+    simhashes = [int(x) for x in simhash_from_block(h60_uniq, inv, starts)]
     h60b_uniq = portable_hash62_np(np.char.add(SIMHASH_SALT, uniq.astype(str)))
-    simhashes2 = _fingerprints(h60b_uniq)
+    simhashes2 = [int(x) for x in simhash_from_block(h60b_uniq, inv, starts)]
+    h32u = h60_uniq % H32
 
     hs32 = (h32u[inv] - (1 << 31)).astype(np.int32)
     ends = starts + lengths

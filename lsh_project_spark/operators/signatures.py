@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..config import CrossPolytopeConfig, MinHashConfig, SimHashConfig
-from ..functions.hashing import PORTABLE_HASH_MOD, hash62_pandas_udf, minhash_params
+from ..functions.hashing import minhash_params
 from ..oracle.lsh_core import concat_hashes, cp_hash
 from ..params import fold_rotations
 
@@ -160,58 +160,77 @@ def shingle_expr(text_col: str, k: int):
     )
 
 
+def _widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow scan across the cluster so the Arrow signature
+    stage parallelizes; a no-op at real scale where inputs have plenty of
+    splits (same pattern as pipeline.dedup_pipeline)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_band_table(
     docs: DataFrame, cfg: MinHashConfig, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, text) -> (id, band_idx, band_hash): MinHash signatures banded for
-    LSH, entirely with JVM expressions (no Python in the plan).
+    """(id, text) -> (id, band_idx, band_hash): MinHash signatures banded
+    for LSH — ONE Arrow-vectorized map stage, zero shuffles.
 
     Per permutation i: mh_i = min over shingles of (a_i * h32 + b_i) mod p.
     Band hash = sum over the band's rows of ((mh_i % 2^32) * c_i) % p —
-    order-independent, so no sort inside the aggregation.
+    order-independent, so duplicates/order of the shingle hash set cannot
+    change the result.
 
-    Plan shape (scale-critical): hash62 is evaluated ONCE per shingle as one
-    Arrow-vectorized projection (numpy inside a pandas UDF — the portable
-    family's fast rendering; bit-identical to the SQL renderings), the only
-    shuffle is the per-doc collect_set of 32-bit shingle hashes (bounded by
-    tokens/doc), and the num_perm mins + band sums run as tight higher-order
-    array expressions inside whole-stage codegen — no num_perm-times row
-    explosion through the exchange.
-    """
-    P = PORTABLE_HASH_MOD
+    Plan shape (scale-critical): each document's shingling, hashing,
+    minima, and band sums all happen inside the scan's record batch via the
+    shared numpy kernels (functions/textsig.py — the same code the fused
+    profile stage runs, bit-identical by construction and pinned by
+    tests/test_text_signatures.py).  Rounds <= 6 exploded one row per
+    (doc, shingle) through an exchange and folded the minima with
+    interpreted HOF lambdas — the shuffle AND the per-element interpreter
+    are both gone (guide §2.4/§4.2), which is also the shape that scales:
+    per-doc signatures come straight out of the scan."""
     a, b, c = minhash_params(cfg.num_perm, cfg.seed)
-    ab_arr = "array(" + ", ".join(
-        f"named_struct('a', {int(a[i])}L, 'b', {int(b[i])}L)"
-        for i in range(cfg.num_perm)
-    ) + ")"
-    c_arr = "array(" + ", ".join(f"{int(c[i])}L" for i in range(cfg.num_perm)) + ")"
-    r = cfg.rows_per_band
-    h62 = hash62_pandas_udf()
-    hashed = docs.select(
-        F.col(id_col),
-        F.explode(shingle_expr(text_col, cfg.shingle_size)).alias("shingle"),
-    ).select(id_col, (h62(F.col("shingle")) % F.lit(4294967296)).alias("h32"))
-    sigs = hashed.groupBy(id_col).agg(F.collect_set("h32").alias("hs"))
-    mh = sigs.select(
-        id_col,
-        F.expr(
-            f"transform({ab_arr}, p -> "
-            f"array_min(transform(hs, h -> (p.a * h + p.b) % {P})))"
-        ).alias("mh"),
-    )
-    return mh.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {cfg.num_bands - 1}), j -> struct("
-                f"cast(j as int) as band_idx, "
-                f"aggregate(slice(zip_with(mh, {c_arr}, "
-                f"(m, cc) -> ((m % 4294967296) * cc) % {P}), "
-                f"j * {r} + 1, {r}), cast(0 as bigint), (acc, x) -> acc + x) "
-                f"as band_hash))"
+    n_bands, rpb = cfg.num_bands, cfg.rows_per_band
+    shingle_k = cfg.shingle_size
+    block = 2048
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.textsig import (
+            minhash_bands_from_block,
+            shingle_hash_block,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf[text_col].fillna("").tolist()
+            outs = []
+            # sub-blocks bound the [shingles, num_perm] minhash matrix
+            for lo in range(0, len(texts), block):
+                _, inv, starts, _, h62u = shingle_hash_block(
+                    texts[lo : lo + block], shingle_k
+                )
+                outs.append(
+                    minhash_bands_from_block(
+                        h62u, inv, starts, a, b, c, n_bands, rpb
+                    )
+                )
+            mb = np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
+                    "band_idx": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(pdf)
+                    ),
+                    "band_hash": mb.reshape(-1),
+                }
             )
-        ).alias("bb"),
-    ).select(id_col, "bb.band_idx", "bb.band_hash")
+
+    id_type = dict(docs.dtypes)[id_col]
+    return _widen_narrow_scan(docs.select(id_col, text_col)).mapInPandas(
+        run, schema=f"{id_col} {id_type}, band_idx int, band_hash long"
+    )
 
 
 # --------------------------------------------------------------- SimHash (JVM)
@@ -236,29 +255,45 @@ def simhash_table(
     (vs raw tokens) keep fingerprints spread out when the vocabulary is
     small — token-level SimHash collapses onto few values and floods the
     band buckets.
-    """
-    h62 = hash62_pandas_udf()
-    hashed = docs.select(
-        F.col(id_col), F.explode(shingle_expr(text_col, 3)).alias("tok")
-    ).select(
-        id_col,
-        F.shiftright(h62(F.col("tok")), 4).alias("h"),
-        F.shiftright(h62(F.concat(F.lit(SIMHASH_SALT), F.col("tok"))), 4).alias("h2"),
-    )
 
-    def fold(col: str) -> str:
-        # one shuffle (collect per-doc token hashes), then bit votes +
-        # fingerprint fold as whole-stage-codegen higher-order expressions
-        return (
-            f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), "
-            f"(fp, b) -> fp + (case when "
-            f"aggregate(collect_list({col}), 0, "
-            f"(acc, hh) -> acc + (case when (hh >> b) & 1 = 1 then 1 else -1 end)) > 0 "
-            f"then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))"
-        )
+    Plan shape: ONE Arrow-vectorized map stage, zero shuffles — the same
+    shared numpy kernels as the fused profile (functions/textsig.py), so
+    the standalone table is bit-identical to the pipeline's fingerprints.
+    Rounds <= 6 exploded per-shingle rows through an exchange and voted the
+    56 bits with interpreted HOF folds over collect_list (guide §4.2: the
+    per-element interpreter dominated)."""
+    from ..functions.hashing import portable_hash62_np
 
-    return hashed.groupBy(id_col).agg(
-        F.expr(fold("h")).alias("simhash"), F.expr(fold("h2")).alias("simhash2")
+    block = 2048
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.textsig import shingle_hash_block, simhash_from_block
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf[text_col].fillna("").tolist()
+            s1, s2 = [], []
+            for lo in range(0, len(texts), block):
+                uniq, inv, starts, _, h62u = shingle_hash_block(
+                    texts[lo : lo + block], 3
+                )
+                s1.append(simhash_from_block(h62u, inv, starts))
+                h62b = portable_hash62_np(
+                    np.char.add(SIMHASH_SALT, uniq.astype(str))
+                )
+                s2.append(simhash_from_block(h62b, inv, starts))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "simhash": np.concatenate(s1),
+                    "simhash2": np.concatenate(s2),
+                }
+            )
+
+    id_type = dict(docs.dtypes)[id_col]
+    return _widen_narrow_scan(docs.select(id_col, text_col)).mapInPandas(
+        run, schema=f"{id_col} {id_type}, simhash long, simhash2 long"
     )
 
 

@@ -137,55 +137,67 @@ def repetition_stats(
     Training pipelines drop documents above thresholds on these (boiler-
     plate, keyword stuffing, generation loops).
 
-    Both statistics are computed INSIDE one row via array_sort + a
-    run-length fold — a pure JVM projection with zero shuffle, so the pass
-    is an embarrassingly-parallel scan at any corpus size (no per-gram
-    explode/groupBy; the gram space never leaves the row)."""
-    runs2 = (
-        "aggregate(array_sort(g2), named_struct("
-        "'prev', cast(null as string), 'run', cast(0 as bigint), "
-        "'best', cast(0 as bigint)), "
-        "(a, x) -> named_struct('prev', x, "
-        "'run', case when x <=> a.prev then a.run + 1 else cast(1 as bigint) end, "
-        "'best', greatest(a.best, case when x <=> a.prev then a.run + 1 "
-        "else cast(1 as bigint) end)), a -> a.best)"
-    )
-    dup5 = (
-        "aggregate(array_sort(g5), named_struct("
-        "'prev', cast(null as string), 'run', cast(0 as bigint), "
-        "'dup', cast(0 as bigint)), "
-        "(a, x) -> named_struct('prev', x, "
-        "'run', case when x <=> a.prev then a.run + 1 else cast(1 as bigint) end, "
-        "'dup', a.dup + case when x <=> a.prev then "
-        "(case when a.run = 1 then cast(2 as bigint) else cast(1 as bigint) end) "
-        "else cast(0 as bigint) end), a -> a.dup)"
-    )
-    return (
-        docs.select(
-            F.col(id_col),
-            F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
-            F.expr(_grams_expr(text_col, 2)).alias("g2"),
-            F.expr(_grams_expr(text_col, 5)).alias("g5"),
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            F.expr(runs2).alias("top_2gram_count"),
-            F.expr(dup5).alias("dup_5gram_positions"),
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            "top_2gram_count",
-            "dup_5gram_positions",
-            F.expr(
-                "case when n_tokens >= 2 then top_2gram_count * 2.0 / n_tokens "
-                "else cast(0 as double) end"
-            ).alias("top_2gram_frac"),
-            F.expr(
-                "case when n_tokens >= 5 then "
-                "dup_5gram_positions / cast(n_tokens - 4 as double) "
-                "else cast(0 as double) end"
-            ).alias("dup_5gram_frac"),
-        )
+    Both statistics are computed INSIDE one Arrow-batched map stage with a
+    C-speed Counter pass per document — zero shuffle, so the pass is an
+    embarrassingly-parallel scan at any corpus size (no per-gram
+    explode/groupBy; the gram space never leaves the task).  Rounds <= 6
+    built per-row gram string arrays and folded them with interpreted JVM
+    HOF aggregates (array_sort + run-length) — measured 5.8 s at sf0.1 for
+    ~0.1 s of actual counting work (guide §4.2: hand whole batches to
+    native code instead of per-element interpreted expressions).  Gram
+    equality over token TUPLES equals equality over the ' '-joined gram
+    strings because tokens cannot contain the separator."""
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_t = np.empty(len(pdf), dtype=np.int64)
+            top2 = np.zeros(len(pdf), dtype=np.int64)
+            dup5 = np.zeros(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf[text_col].fillna("")):
+                toks = t.split(" ")
+                n = len(toks)
+                n_t[i] = n
+                if n >= 2:
+                    c2 = Counter(zip(toks, toks[1:]))
+                    top2[i] = max(c2.values())
+                if n >= 5:
+                    c5 = Counter(
+                        zip(toks, toks[1:], toks[2:], toks[3:], toks[4:])
+                    )
+                    dup5[i] = sum(v for v in c5.values() if v > 1)
+            # same IEEE double ops as the SQL CASE arms: exact int->double
+            # conversions, one division (divisor clamps only guard the
+            # discarded branch of np.where)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_tokens": n_t,
+                    "top_2gram_count": top2,
+                    "dup_5gram_positions": dup5,
+                    "top_2gram_frac": np.where(
+                        n_t >= 2, top2 * 2.0 / np.maximum(n_t, 1), 0.0
+                    ),
+                    "dup_5gram_frac": np.where(
+                        n_t >= 5,
+                        dup5 / np.maximum(n_t - 4, 1).astype(np.float64),
+                        0.0,
+                    ),
+                }
+            )
+
+    id_type = dict(docs.dtypes)[id_col]
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_type}, n_tokens long, top_2gram_count long, "
+            "dup_5gram_positions long, top_2gram_frac double, "
+            "dup_5gram_frac double"
+        ),
     )
