@@ -83,6 +83,14 @@ def _kgram_hashes(text: str, k: int) -> np.ndarray:
     return out
 
 
+# below this many scan (non-equal-text) candidate pairs, substring_pairs
+# verifies by joining both texts onto each pair directly instead of the
+# grid cogroup: the shuffled payload is bounded by pairs x 2 x doc size
+# (~hundreds of MB worst case at the cap, spread over tasks), which is
+# cheaper than the grid's fixed plumbing until pair counts reach real
+# corpus scale
+_DIRECT_VERIFY_MAX_PAIRS = 200_000
+
 # diagonal-run match-pair budget: above this the run scan falls back to the
 # suffix-array verifier (low-entropy docs where one gram repeats heavily can
 # make |{(i,j): gram_a[i]=gram_b[j]}| quadratic; the SA path is O(n log n))
@@ -409,15 +417,18 @@ def substring_pairs(
                         F.col("_tl").alias("_tlb")), "b")
     )
     # the candidate set feeds THREE branches (equal-text accepts, the
-    # cogroup pair side, and the doc-need list); checkpoint it so the
-    # winnow + salted-candidate + meta-join subtree runs once, not once
-    # per branch.  (a, b, hash, len) rows are compact — far smaller than
-    # the signature table that produced them.
+    # cogroup pair side, and the doc-need list); materialize it ONCE with a
+    # persist + count — the count also decides the verify path below, and
+    # the (a, b, hash, len) rows are compact, far smaller than the
+    # signature table that produced them.  The direct path leaves this
+    # small cache (bounded by the fast-path threshold, a few MB) live until
+    # the caller's action completes; the grid path hands the set to a
+    # reliable checkpoint and unpersists.
+    from pyspark.storagelevel import StorageLevel
+
     spark = docs.sparkSession
     reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
-    cands = cands.checkpoint(eager=False) if reliable else cands.localCheckpoint(
-        eager=False
-    )
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     min_len = cfg.min_length
     a_type = dict(docs.dtypes)[id_col]
     eq = (F.col("_tha") == F.col("_thb")) & (F.col("_tla") == F.col("_tlb"))
@@ -426,6 +437,66 @@ def substring_pairs(
         .select("a", "b", F.col("_tla").alias("lcs_len"))
     )
     scan_cands = cands.filter(~eq).select("a", "b")
+    # SMALL scan sets skip the grid entirely: below _DIRECT_VERIFY_MAX_PAIRS
+    # the 2G-1-copy cell machinery (cell checkpoint, need-list distinct,
+    # doc join, two-sided cogroup) costs more than just shipping both texts
+    # per pair through one map stage (a bounded ~pairs x 2 x doc-size
+    # shuffle; per-doc gram arrays still cached per batch).  The count is a
+    # cheap read of the cached candidate set, and the accept set is
+    # identical — the grid remains the path for pair volumes a real corpus
+    # produces.
+    if scan_cands.count() <= _DIRECT_VERIFY_MAX_PAIRS:
+        side = docs.select(F.col(id_col).alias("_did"), F.col(text_col).alias("_t"))
+        joined = scan_cands.join(
+            side.select(F.col("_did").alias("a"), F.col("_t").alias("_ta")), "a"
+        ).join(
+            side.select(F.col("_did").alias("b"), F.col("_t").alias("_tb")), "b"
+        )
+
+        def verify_direct(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                grams: dict = {}
+
+                def g_of(i, t):
+                    h = grams.get(i)
+                    if h is None:
+                        h = grams[i] = _kgram_hashes(t, min_len)
+                    return h
+
+                lens = np.fromiter(
+                    (
+                        lcs_len_via_diagonal_runs(
+                            ta, tb, min_len, g_of(a, ta), g_of(b, tb)
+                        )
+                        for a, b, ta, tb in zip(
+                            pdf["a"], pdf["b"], pdf["_ta"], pdf["_tb"]
+                        )
+                    ),
+                    dtype=np.int64,
+                    count=len(pdf),
+                )
+                out = pdf[["a", "b"]].copy()
+                out["lcs_len"] = lens
+                yield out[out["lcs_len"] >= min_len]
+
+        scanned = joined.mapInPandas(
+            verify_direct, schema=f"a {a_type}, b {a_type}, lcs_len long"
+        )
+        return equal_pairs.unionByName(scanned)
+    # BIG sets: hand the cached candidate set to a reliable checkpoint (the
+    # write job reads cached partitions, so nothing recomputes) and free
+    # the cache; the grid cogroup then runs over plan-truncated inputs.
+    if reliable:
+        cached = cands
+        cands = cached.checkpoint(eager=True)
+        cached.unpersist()
+        equal_pairs = (
+            cands.filter(eq & (F.col("_tla") >= min_len))
+            .select("a", "b", F.col("_tla").alias("lcs_len"))
+        )
+        scan_cands = cands.filter(~eq).select("a", "b")
     G = grid
     cells = scan_cands.select(
         "a",
