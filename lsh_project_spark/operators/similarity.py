@@ -164,30 +164,67 @@ def _portable_dot(vec_col: str, plane: str) -> str:
     )
 
 
+# row-block for the [rows, tables*bits, dim] float64 product/accumulate
+# temporaries below (512 x 128 x 64 x 8 B = 33 MB, cache/memory friendly)
+_SIGN_BLOCK = 512
+
+
 def portable_signatures(
     vectors: DataFrame, planes: list[list[str]], bits: int,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
 ) -> DataFrame:
-    """(id, vec) -> (id, table_idx, bucket) with JVM-only expressions and
-    engine-portable sign decisions (see rademacher_planes).
+    """(id, vec) -> (id, table_idx, bucket) with engine-portable sign
+    decisions (see rademacher_planes), computed in ONE numpy map stage.
 
-    The planes are known at plan time, so the whole bucket computation is
-    UNROLLED per (table, bit): each sign test is one zip_with/aggregate
-    fold against a constant-folded ±1.0 array literal, and the per-table
-    bucket is an explicit integer sum of power-of-two CASE terms.  Same
-    doubles, same fold order, same integer result as the round-5 string
-    form — ~10x cheaper per row (no per-character parsing)."""
-    per_table = []
-    for tbl in planes:
-        terms = [
-            f"(case when ({_portable_dot(vec_col, s)}) > 0 "
-            f"then cast({1 << j} as bigint) else cast(0 as bigint) end)"
-            for j, s in enumerate(tbl[:bits])
-        ]
-        per_table.append("(" + " + ".join(terms) + ")")
-    buckets = "array(" + ", ".join(per_table) + ")"
-    return vectors.select(
-        id_col, F.posexplode(F.expr(buckets)).alias("table_idx", "bucket")
+    Bit-exactness with the SQL renderings: multiplying a double by ±1.0 is
+    exact in IEEE 754, and ``np.add.accumulate`` produces the same strict
+    left-to-right double summation as the SQL sequential fold (acc starts
+    at 0.0; 0.0 + v0 == v0), so every sign test — and therefore every
+    bucket integer — is identical to the DuckDB oracle's.
+
+    Why numpy and not the round-6 unrolled JVM expressions: the unrolled
+    form was num_tables x bits aggregate folds over 64-element array
+    literals — a huge expression tree that the optimizer re-processed at
+    every AQE stage (measured: the wall of the near-dup query was ~40%
+    driver-side planning gaps between sub-second jobs).  The numpy stage
+    keeps the plan tree tiny and the per-row work vectorized."""
+    P = np.array(
+        [
+            [1.0 if c == "+" else -1.0 for c in row]
+            for tbl in planes
+            for row in tbl[:bits]
+        ],
+        dtype=np.float64,
+    )[:, :dim]  # [T*bits, d]
+    T = len(planes)
+    weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_all, tid_all, b_all = [], [], []
+            for lo in range(0, len(pdf), _SIGN_BLOCK):
+                sub = pdf.iloc[lo : lo + _SIGN_BLOCK]
+                x = np.vstack(sub[vec_col].to_numpy()).astype(np.float64)
+                prods = x[:, None, :] * P[None, :, :]  # [n, T*bits, d]
+                dots = np.add.accumulate(prods, axis=2)[:, :, -1]
+                hits = (dots > 0).reshape(len(sub), T, bits)
+                buckets = (hits * weights[None, None, :]).sum(axis=2)
+                ids_all.append(np.repeat(sub[id_col].to_numpy(), T))
+                tid_all.append(np.tile(np.arange(T, dtype=np.int32), len(sub)))
+                b_all.append(buckets.reshape(-1))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids_all),
+                    "table_idx": np.concatenate(tid_all),
+                    "bucket": np.concatenate(b_all),
+                }
+            )
+
+    id_type = dict(vectors.dtypes)[id_col]
+    return vectors.select(id_col, vec_col).mapInPandas(
+        sign, schema=f"{id_col} {id_type}, table_idx int, bucket long"
     )
 
 
@@ -351,11 +388,19 @@ def near_dup_pairs(
     # xxhash64(id) longs; string ids rejoin via the narrow id map at the
     # end, where least/greatest restores id_a < id_b by STRING order —
     # the accept SET is invariant (cosine is symmetric), so the output
-    # is bit-identical to the string-keyed plan.
-    idmap = vectors.select(F.xxhash64(id_col).alias("_h"), id_col)
-    slim = vectors.select(
-        F.xxhash64(id_col).alias(id_col), F.col(vec_col)
-    )
+    # is bit-identical to the string-keyed plan.  Ids that are ALREADY
+    # 8-byte longs skip the hash and the two map-back joins outright
+    # (same rule as substring_pairs): the raw ids are the narrow keys,
+    # and the accept set is id-independent, so the (min, max) output is
+    # unchanged.
+    hash_ids = dict(vectors.dtypes)[id_col] == "string"
+    if hash_ids:
+        idmap = vectors.select(F.xxhash64(id_col).alias("_h"), id_col)
+        slim = vectors.select(
+            F.xxhash64(id_col).alias(id_col), F.col(vec_col)
+        )
+    else:
+        slim = vectors.select(id_col, vec_col)
     sig = portable_signatures(slim, planes, bits, id_col, vec_col, dim)
     cands = candidate_pairs(
         sig, id_col=id_col, bucket_cols=("table_idx", "bucket"),
@@ -383,6 +428,11 @@ def near_dup_pairs(
         ))
         .select("id_a", "id_b")
     )
+    if not hash_ids:
+        return accepted.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
     map_a = idmap.select(F.col("_h").alias("id_a"), F.col(id_col).alias("_sa"))
     map_b = idmap.select(F.col("_h").alias("id_b"), F.col(id_col).alias("_sb"))
     return (
