@@ -141,7 +141,7 @@ def _mix_np(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
 _SENTINEL = "\x01"
 
 
-def portable_hash62_np(strs) -> np.ndarray:
+def portable_hash62_np(strs, return_lanes: bool = False):
     """Vectorized numpy rendering: sequence of strings -> int64 hash62 array.
 
     np.array(dtype=str) gives a fixed-width UCS4 buffer; viewing it as
@@ -155,9 +155,15 @@ def portable_hash62_np(strs) -> np.ndarray:
       matrix is padded to the LONGEST row, so bounding the summed character
       count alone would let one multi-megabyte outlier among millions of
       short shingles blow the [rows, width] allocation).
+
+    ``return_lanes=True`` additionally returns the raw polynomial lanes
+    (h1, h2) so callers can derive PREFIXED hashes via lane composition
+    (see :func:`salted_hash62_np`) without re-hashing the characters.
     """
     strs = list(strs)
     out = np.empty(len(strs), dtype=np.int64)
+    l1 = np.empty(len(strs), dtype=np.int64) if return_lanes else None
+    l2 = np.empty(len(strs), dtype=np.int64) if return_lanes else None
     inv1 = pow(POLY_B, -1, POLY_M1)
     inv2 = pow(POLY_B, -1, POLY_M2)
     pos = 0
@@ -180,8 +186,35 @@ def portable_hash62_np(strs) -> np.ndarray:
         h1 = ((_lane_hash(cp, lens, POLY_M1) - 1) * inv1) % POLY_M1
         h2 = ((_lane_hash(cp, lens, POLY_M2) - 1) * inv2) % POLY_M2
         out[pos:end] = _mix_np(h1, h2)
+        if return_lanes:
+            l1[pos:end] = h1
+            l2[pos:end] = h2
         pos = end
+    if return_lanes:
+        return out, l1, l2
     return out
+
+
+def salted_hash62_np(
+    salt: str, h1: np.ndarray, h2: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """hash62(salt + s) from the polynomial lanes of s — NO re-hash of the
+    characters.  Polynomial lanes compose exactly:
+
+        lane(salt + s) = lane(salt) * B^len(s) + lane(s)   (mod M)
+
+    Every term stays < 2^62 (lane(salt) < 2^31, B^len mod M < 2^31, sum
+    adds < 2^31), so the arithmetic is exact int64 — bit-identical to
+    hashing the concatenated string (pinned by tests/test_hashing.py)."""
+    s1 = s2 = 0
+    for ch in salt:
+        c = ord(ch)
+        s1 = (s1 * POLY_B + c) % POLY_M1
+        s2 = (s2 * POLY_B + c) % POLY_M2
+    lens = np.asarray(lens, dtype=np.int64)
+    p1 = _pow_mod_vec(POLY_B, lens, POLY_M1)
+    p2 = _pow_mod_vec(POLY_B, lens, POLY_M2)
+    return _mix_np((s1 * p1 + h1) % POLY_M1, (s2 * p2 + h2) % POLY_M2)
 
 
 def _mix_sql(h1: str, h2: str, shr31) -> str:

@@ -18,9 +18,16 @@ crosses an exchange: the per-doc signature comes out of the scan stage.
 
 from __future__ import annotations
 
-import numpy as np
+from typing import NamedTuple
 
-from .hashing import PORTABLE_HASH_MOD, portable_hash62_np
+import numpy as np
+import pandas as pd
+
+from .hashing import (
+    PORTABLE_HASH_MOD,
+    portable_hash62_np,
+    salted_hash62_np,
+)
 
 H32 = 1 << 32
 SIMHASH_BITS = 56
@@ -35,21 +42,48 @@ def shingle_set(text: str, k: int) -> list[str]:
     return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
 
 
-def shingle_hash_block(texts: list[str], k: int):
+class ShingleBlock(NamedTuple):
+    """Per-block decomposition of a list of documents into hashed distinct
+    shingles.  Doc i's shingle hashes are
+    ``h62[inv[starts[i] : starts[i] + lengths[i]]]``.  ``lane1``/``lane2``
+    are the raw polynomial lanes of each unique shingle and ``ulens`` its
+    codepoint length, kept so prefixed hash families (SimHash's salted
+    second fingerprint) derive by lane composition instead of a second
+    character pass."""
+
+    uniq: np.ndarray  # unique shingle strings (first-seen order)
+    inv: np.ndarray  # flat occurrence -> unique index
+    starts: np.ndarray  # per-doc segment starts into inv
+    lengths: np.ndarray  # per-doc segment lengths
+    h62: np.ndarray  # hash62 per unique shingle
+    lane1: np.ndarray
+    lane2: np.ndarray
+    ulens: np.ndarray
+
+    def salted_h62(self, salt: str) -> np.ndarray:
+        return salted_hash62_np(salt, self.lane1, self.lane2, self.ulens)
+
+
+def shingle_hash_block(texts: list[str], k: int) -> ShingleBlock:
     """Shared per-block decomposition: distinct shingles per doc, hashed
     ONCE per *unique* shingle in the block (small vocabularies repeat
-    shingles heavily across docs).
-
-    Returns (uniq, inv, starts, lengths, h62_uniq): doc i's shingle hashes
-    are ``h62_uniq[inv[starts[i] : starts[i] + lengths[i]]]``."""
+    shingles heavily across docs).  Uniqueness comes from hash-based
+    ``pd.factorize`` (first-seen order) — ~8x cheaper than the sorted
+    ``np.unique`` it replaced, and every consumer gathers via ``inv``, so
+    the order of ``uniq`` is immaterial."""
     sh_lists = [shingle_set(t, k) for t in texts]
     lengths = np.array([len(s) for s in sh_lists], dtype=np.int64)
     flat = np.array([s for lst in sh_lists for s in lst], dtype=object)
-    uniq, inv = np.unique(flat, return_inverse=True)
-    h62_uniq = portable_hash62_np(uniq)
+    inv, uniq = pd.factorize(flat)
+    uniq = np.asarray(uniq, dtype=object)
+    h62, lane1, lane2 = portable_hash62_np(uniq, return_lanes=True)
+    ulens = np.fromiter((len(s) for s in uniq), dtype=np.int64, count=len(uniq))
     starts = np.zeros(len(texts), dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
-    return uniq, inv, starts, lengths, h62_uniq
+    return ShingleBlock(
+        uniq, np.asarray(inv, dtype=np.int64), starts, lengths, h62,
+        lane1, lane2, ulens,
+    )
 
 
 def minhash_bands_from_block(

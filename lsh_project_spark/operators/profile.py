@@ -82,14 +82,19 @@ def _caption_block(
     )
 
     n = len(texts)
-    uniq, inv, starts, lengths, h60_uniq = shingle_hash_block(texts, k)
+    blk = shingle_hash_block(texts, k)
+    inv, starts, lengths = blk.inv, blk.starts, blk.lengths
     mh_bands = minhash_bands_from_block(
-        h60_uniq, inv, starts, a, b, c, n_bands, rpb
+        blk.h62, inv, starts, a, b, c, n_bands, rpb
     )
-    simhashes = [int(x) for x in simhash_from_block(h60_uniq, inv, starts)]
-    h60b_uniq = portable_hash62_np(np.char.add(SIMHASH_SALT, uniq.astype(str)))
-    simhashes2 = [int(x) for x in simhash_from_block(h60b_uniq, inv, starts)]
-    h32u = h60_uniq % H32
+    simhashes = [int(x) for x in simhash_from_block(blk.h62, inv, starts)]
+    # salted second fingerprint from lane composition — no second pass
+    # over the shingle characters (functions/hashing.salted_hash62_np)
+    simhashes2 = [
+        int(x)
+        for x in simhash_from_block(blk.salted_h62(SIMHASH_SALT), inv, starts)
+    ]
+    h32u = blk.h62 % H32
 
     hs32 = (h32u[inv] - (1 << 31)).astype(np.int32)
     ends = starts + lengths

@@ -208,12 +208,10 @@ def minhash_band_table(
             outs = []
             # sub-blocks bound the [shingles, num_perm] minhash matrix
             for lo in range(0, len(texts), block):
-                _, inv, starts, _, h62u = shingle_hash_block(
-                    texts[lo : lo + block], shingle_k
-                )
+                blk = shingle_hash_block(texts[lo : lo + block], shingle_k)
                 outs.append(
                     minhash_bands_from_block(
-                        h62u, inv, starts, a, b, c, n_bands, rpb
+                        blk.h62, blk.inv, blk.starts, a, b, c, n_bands, rpb
                     )
                 )
             mb = np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
@@ -262,8 +260,6 @@ def simhash_table(
     Rounds <= 6 exploded per-shingle rows through an exchange and voted the
     56 bits with interpreted HOF folds over collect_list (guide §4.2: the
     per-element interpreter dominated)."""
-    from ..functions.hashing import portable_hash62_np
-
     block = 2048
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -275,14 +271,13 @@ def simhash_table(
             texts = pdf[text_col].fillna("").tolist()
             s1, s2 = [], []
             for lo in range(0, len(texts), block):
-                uniq, inv, starts, _, h62u = shingle_hash_block(
-                    texts[lo : lo + block], 3
+                blk = shingle_hash_block(texts[lo : lo + block], 3)
+                s1.append(simhash_from_block(blk.h62, blk.inv, blk.starts))
+                s2.append(
+                    simhash_from_block(
+                        blk.salted_h62(SIMHASH_SALT), blk.inv, blk.starts
+                    )
                 )
-                s1.append(simhash_from_block(h62u, inv, starts))
-                h62b = portable_hash62_np(
-                    np.char.add(SIMHASH_SALT, uniq.astype(str))
-                )
-                s2.append(simhash_from_block(h62b, inv, starts))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

@@ -168,6 +168,14 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
         F.xxhash64("image_id").alias("image_id"), "caption", "phash"
     )
     profile = multimodal_profile(slim, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the cache BEFORE the plan fans out: the profile feeds the
+    # signature union, both verify sides, and the cluster node list, and
+    # AQE submits those independent first-wave stages CONCURRENTLY — on a
+    # cold cache each of them recomputes the whole Arrow profile stage
+    # (measured: 11 simultaneous ~4.5 s jobs at bench scale, all burning
+    # cores on identical work).  One count pins the cache; every
+    # downstream stage then reads it.
+    profile.count()
     # pack (modality, band, bucket) into one 64-bit key: the salted
     # aggregation, its bucket-total window, and the cold regroup all key on
     # it, so one long instead of three columns narrows every one of those

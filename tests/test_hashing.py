@@ -60,3 +60,36 @@ def test_duckdb_rendering_matches_python():
         lit = "'" + s.replace("'", "''") + "'"
         (h,) = con.execute(f"SELECT {duckdb_hash62(lit)}").fetchone()
         assert int(h) == portable_hash62_py(s), repr(s)
+
+
+def test_salted_lane_composition_matches_concat_hash():
+    # salted_hash62_np derives hash62(salt + s) from s's polynomial lanes
+    # (lane(salt+s) = lane(salt)*B^len(s) + lane(s) mod M) — must equal
+    # hashing the concatenated string bit for bit, including empty strings
+    # and non-ASCII (the SimHash second-fingerprint fast path)
+    from lsh_project_spark.functions.hashing import salted_hash62_np
+
+    strs = PRINTABLE + NULLY
+    h62, l1, l2 = portable_hash62_np(strs, return_lanes=True)
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    for salt in ("s2:", "", "π:"):
+        got = salted_hash62_np(salt, l1, l2, lens)
+        want = portable_hash62_np([salt + s for s in strs])
+        assert np.array_equal(got, want), salt
+
+
+def test_shingle_hash_block_matches_direct_hash():
+    # the factorize-based block decomposition must reproduce, per doc, the
+    # exact multiset of shingle hashes a direct per-doc hash would produce
+    from lsh_project_spark.functions.textsig import (
+        shingle_hash_block,
+        shingle_set,
+    )
+
+    texts = ["a b c d e", "a b c", "x", "", "a b c d e f g", "a b c d e"]
+    blk = shingle_hash_block(texts, 3)
+    for i, t in enumerate(texts):
+        seg = blk.inv[blk.starts[i] : blk.starts[i] + blk.lengths[i]]
+        got = sorted(int(x) for x in blk.h62[seg])
+        want = sorted(int(x) for x in portable_hash62_np(shingle_set(t, 3)))
+        assert got == want, t
