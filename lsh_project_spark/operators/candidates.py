@@ -85,6 +85,20 @@ def candidate_pairs(
         F.sum(F.size("ms")).over(w).alias("n"),
         F.min(F.expr("array_min(ms)")).over(w).alias("mn"),
     )
+    # ONE materialization for the 3-4 consumers below (cold regroup, hot
+    # star, hot chain, drop-stats): AQE fails to reuse the salted-agg and
+    # window exchanges across the union branches — measured at the 66k
+    # bench, the full aggregation map stage (95 MB read, 44 MB shuffle)
+    # and the window exchange each executed THREE times concurrently
+    # (non-AQE planning reuses them; stage IO confirms).  Cutting the
+    # shared subtree with an eager executor-local checkpoint runs each
+    # exchange once; blocks are freed by the ContextCleaner when the plan
+    # is GC'd.  Trade-off vs a reliable checkpoint: executor loss between
+    # materialization and consumption fails the enclosing job (fail-stop
+    # recompute, never wrong results) — acceptable for a one-shot
+    # intermediate inside a single logical query, and the write round-trip
+    # a reliable checkpoint would add costs more than it insures here.
+    sized = sized.localCheckpoint(eager=True)
 
     # cold: gather the <= T members per bucket, emit all pairs via codegen
     cold = (
