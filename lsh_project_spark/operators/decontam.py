@@ -17,20 +17,59 @@ corpus-curation pass the same pipeline runs alongside dedup.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from .text import _grams_expr
+
+def _distinct_gram_rows(
+    df: DataFrame, n: int, text_col: str, id_col: str | None
+) -> DataFrame:
+    """Per-document DISTINCT word n-grams as rows — one Arrow map stage.
+    Rounds <= 6 generated grams with an interpreted JVM ``transform`` +
+    ``concat_ws`` per gram (HOF lambdas run outside codegen); a C-speed
+    set of token-tuple joins per doc is ~3x cheaper (guide §4.2).  Gram
+    strings are identical (tokens cannot contain the separator)."""
+    import pandas as pd
+
+    cols = ([id_col] if id_col else []) + [text_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_out, grams_out = [], []
+            texts = pdf[text_col].fillna("")
+            ids = pdf[id_col] if id_col else None
+            for i, t in enumerate(texts):
+                toks = t.split(" ")
+                if len(toks) < n:
+                    continue
+                gset = {
+                    " ".join(toks[j : j + n])
+                    for j in range(len(toks) - n + 1)
+                }
+                grams_out.extend(gset)
+                if id_col:
+                    ids_out.extend([ids.iloc[i]] * len(gset))
+            out = {id_col: ids_out} if id_col else {}
+            out["gram"] = grams_out
+            yield pd.DataFrame(out)
+
+    if id_col:
+        id_type = dict(df.dtypes)[id_col]
+        schema = f"{id_col} {id_type}, gram string"
+    else:
+        schema = "gram string"
+    return df.select(*cols).mapInPandas(run, schema=schema)
 
 
 def benchmark_grams(
     bench: DataFrame, n: int = 8, text_col: str = "text"
 ) -> DataFrame:
     """Distinct word n-grams of the benchmark set — one column ``gram``."""
-    return (
-        bench.select(F.explode(F.expr(_grams_expr(text_col, n))).alias("gram"))
-        .distinct()
-    )
+    return _distinct_gram_rows(bench, n, text_col, id_col=None).distinct()
 
 
 def decontaminate(
@@ -44,16 +83,12 @@ def decontaminate(
     least one word ``n``-gram with ``bench`` — the rows a training run
     must drop.  ``n_contaminated_grams`` counts DISTINCT shared grams.
 
-    The corpus side explodes its grams only logically (generate → explode
-    → immediately semi-joined against a broadcast hash set); Catalyst
-    keeps the whole match map-side, so cost is one corpus scan."""
+    The corpus side generates per-doc distinct grams inside the scan's
+    record batch (no corpus-sized shuffle) and is immediately semi-joined
+    against the broadcast benchmark gram set; the per-doc count happens
+    map-side with a partial aggregate."""
     bg = F.broadcast(benchmark_grams(bench, n, text_col))
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(F.expr(f"array_distinct({_grams_expr(text_col, n)})")).alias(
-            "gram"
-        ),
-    )
+    doc_grams = _distinct_gram_rows(docs, n, text_col, id_col=id_col)
     return (
         doc_grams.join(bg, "gram")
         .groupBy(id_col)

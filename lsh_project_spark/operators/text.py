@@ -117,17 +117,6 @@ def shingle_expr_sql(text_col: str, k: int) -> str:
     )
 
 
-def _grams_expr(text_col: str, k: int) -> str:
-    """Positional (non-distinct) word k-grams as a string array, empty when
-    the document is shorter than k tokens."""
-    toks = f"split({text_col}, ' ')"
-    return (
-        f"case when size({toks}) < {k} then array() "
-        f"else transform(sequence(0, size({toks}) - {k}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {k}))) end"
-    )
-
-
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
