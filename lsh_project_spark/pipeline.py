@@ -162,11 +162,17 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
     # is bit-identical to the string-keyed plan.  Collision risk is the
     # same negligible class as the 62-bit fingerprints the candidate stage
     # already relies on (~n^2/2^65); a 100 TB deployment would mint dense
-    # int64 ids at ingest instead of hashing.
-    idmap = slim.select(F.xxhash64("image_id").alias("hid"), "image_id")
-    slim = slim.select(
-        F.xxhash64("image_id").alias("image_id"), "caption", "phash"
-    )
+    # int64 ids at ingest instead of hashing.  Inputs whose ids are ALREADY
+    # 8-byte longs (e.g. the oracle-portable fixture) skip the hash AND the
+    # whole map-back tail — connected components already label every
+    # cluster with its min member id, which for raw longs IS the final
+    # label (same rule as substring_pairs / near_dup_pairs).
+    hash_ids = dict(slim.dtypes)["image_id"] == "string"
+    if hash_ids:
+        idmap = slim.select(F.xxhash64("image_id").alias("hid"), "image_id")
+        slim = slim.select(
+            F.xxhash64("image_id").alias("image_id"), "caption", "phash"
+        )
     profile = multimodal_profile(slim, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     # materialize the cache BEFORE the plan fans out: the profile feeds the
     # signature union, both verify sides, and the cluster node list, and
@@ -212,6 +218,16 @@ def dedup_pipeline(images: DataFrame, cfg: PipelineConfig | None = None) -> Pipe
     # join chain runs once
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     assignments_h = assign_clusters(profile, pairs, id_col="image_id")
+    if not hash_ids:
+        # raw long ids: CC's labels (min member per component) and the
+        # pair list already carry the original ids — no map-back tail
+        return PipelineResult(
+            assignments=assignments_h,
+            verified_pairs=pairs.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            ),
+            drop_stats=dstats.get("df"),
+        )
     assignments = map_back_assignments(assignments_h, idmap)
     map_a = idmap.select(
         F.col("hid").alias("_ha"), F.col("image_id").alias("_ia")
