@@ -94,68 +94,57 @@ def ivf_fit_centroids(
     return ivf_fit(X, n_lists=n_lists, iters=iters)
 
 
-# ---------------------------------------------------------------- literals
-
-
-def _lit_d(v: float) -> str:
-    """Engine-portable double literal: strtod of the shortest repr —
-    identical bits in Spark and DuckDB."""
-    return f"cast('{float(v)!r}' as double)"
-
-
-def ivf_centroid_literals(cents: np.ndarray) -> tuple[str, str]:
-    """(CENTS, C2) Spark SQL literals: array<array<double>> of centroids
-    and array<double> of their squared norms.  C2 is precomputed HERE (in
-    float64 over the quantized values) and emitted as a literal on both
-    engines, so no cross-engine norm arithmetic exists at all."""
-    cents = np.asarray(cents, dtype=np.float64)
-    arrs = ", ".join(
-        "array(" + ", ".join(_lit_d(v) for v in row) + ")" for row in cents
-    )
-    c2 = ", ".join(_lit_d(v) for v in (cents * cents).sum(axis=1))
-    return f"array({arrs})", f"array({c2})"
-
-
-def _score_expr(vec_col: str, cents_lit: str, c2_lit: str, idx: str) -> str:
-    """Squared-L2 rank score |c|^2 - 2 v.c (|v|^2 dropped: constant per
-    row) — sequential left-to-right double fold, the engine-portable
-    accumulation order."""
-    dot = (
-        f"aggregate(zip_with({vec_col}, element_at({cents_lit}, {idx} + 1), "
-        f"(x, y) -> cast(x as double) * y), cast(0 as double), "
-        f"(a, v) -> a + v)"
-    )
-    return (
-        f"(element_at({c2_lit}, {idx} + 1) - cast(2 as double) * ({dot}))"
-    )
-
-
-def ivf_assign_expr(vec_col: str, cents: np.ndarray) -> str:
-    """0-based nearest-centroid index as ONE fold expression — a pure
-    projection (no shuffle, no explode): strict '<' keeps the lowest
-    index on ties, matching the oracle's ORDER BY (score, i)."""
-    cents_lit, c2_lit = ivf_centroid_literals(cents)
-    score = _score_expr(vec_col, cents_lit, c2_lit, "i")
-    return (
-        f"aggregate(sequence(0, {len(cents) - 1}), "
-        f"named_struct('bi', -1, 'bs', cast('Infinity' as double)), "
-        f"(acc, i) -> case when {score} < acc.bs "
-        f"then named_struct('bi', i, 'bs', {score}) else acc end, "
-        f"acc -> acc.bi)"
-    )
-
-
 # ------------------------------------------------------------------ search
+
+
+def _ivf_scores_np(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """[n, n_lists] rank scores |c|^2 - 2 v.c with the EXACT doubles of the
+    SQL fold (_score_expr): per (row, centroid) the dot is a strict
+    left-to-right accumulation (np.add.accumulate == the sequential SQL
+    fold; products of a float-cast-to-double by a double literal round
+    identically), and c2 uses the same numpy sum that produced the SQL
+    literals — so scores, argmin choices, and tie decisions are
+    bit-identical to the expression rendering (and the DuckDB oracle)."""
+    cents = np.asarray(cents, dtype=np.float64)
+    c2 = (cents * cents).sum(axis=1)  # the very values ivf_centroid_literals emits
+    prods = x[:, None, :] * cents[None, :, :]  # [n, L, d]
+    dots = np.add.accumulate(prods, axis=2)[:, :, -1]
+    return c2[None, :] - 2.0 * dots
 
 
 def ivf_assign(
     vectors: DataFrame, cents: np.ndarray, vec_col: str = "embedding"
 ) -> DataFrame:
     """Corpus side: + list_id column.  At warehouse scale this is the
-    write-time bucketing column — probes then prune partitions."""
-    return vectors.withColumn(
-        "list_id", F.expr(ivf_assign_expr(vec_col, cents))
-    )
+    write-time bucketing column — probes then prune partitions.
+
+    One numpy map stage instead of the round-6 fold expression: the
+    unrolled literal tree (2 copies of an n_lists x dim double array per
+    fold step) was re-optimized at every adaptive stage and evaluated
+    interpreted per element; numpy computes the same bit-identical scores
+    (see _ivf_scores_np) and np.argmin's first-minimum matches the fold's
+    strict '<' lowest-index tie rule."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cents = np.asarray(cents, dtype=np.float64)
+    cols = vectors.columns
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            li = np.argmin(_ivf_scores_np(x, cents), axis=1).astype(np.int32)
+            out = pdf.copy()
+            out["list_id"] = li
+            yield out
+
+    schema = ", ".join(
+        f"{c} {t}" for c, t in vectors.dtypes
+    ) + ", list_id int"
+    return vectors.mapInPandas(assign, schema=schema)
 
 
 def ivf_probes(
@@ -165,23 +154,41 @@ def ivf_probes(
     qid_col: str = "query_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(query_id, list_id) for each query's nprobe nearest centroids.
-    The query set is small by definition, so explode x n_lists + a window
-    is cheap; ties break on centroid index."""
-    cents_lit, c2_lit = ivf_centroid_literals(cents)
-    score = _score_expr("qv", cents_lit, c2_lit, "i")
-    w = Window.partitionBy(qid_col).orderBy("s", "i")
-    return (
-        queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
-        .select(
-            qid_col,
-            "qv",
-            F.posexplode(F.expr(cents_lit)).alias("i", "_c"),
-        )
-        .select(qid_col, "qv", "i", F.expr(score).alias("s"))
-        .withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= nprobe)
-        .select(qid_col, "qv", F.col("i").alias("list_id"))
+    """(query_id, qv, list_id) for each query's nprobe nearest centroids —
+    same numpy scoring as ivf_assign; the (score, index) ordering of the
+    round-6 window rendering is reproduced by a stable argsort over the
+    bit-identical scores."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cents = np.asarray(cents, dtype=np.float64)
+    n_lists = len(cents)
+    take = min(nprobe, n_lists)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            order = np.argsort(
+                _ivf_scores_np(x, cents), axis=1, kind="stable"
+            )[:, :take]  # stable: equal scores keep index order
+            out = pd.DataFrame(
+                {
+                    qid_col: np.repeat(pdf[qid_col].to_numpy(), take),
+                    "qv": [
+                        v for v in pdf[vec_col] for _ in range(take)
+                    ],
+                    "list_id": order.reshape(-1).astype(np.int32),
+                }
+            )
+            yield out
+
+    qid_type = dict(queries.dtypes)[qid_col]
+    vec_type = dict(queries.dtypes)[vec_col]
+    return queries.select(qid_col, vec_col).mapInPandas(
+        probe, schema=f"{qid_col} {qid_type}, qv {vec_type}, list_id int"
     )
 
 
