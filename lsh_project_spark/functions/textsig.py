@@ -24,13 +24,19 @@ import numpy as np
 import pandas as pd
 
 from .hashing import (
+    POLY_B,
+    POLY_M1,
+    POLY_M2,
     PORTABLE_HASH_MOD,
+    _mix_np,
+    _pow_mod_vec,
     portable_hash62_np,
     salted_hash62_np,
 )
 
 H32 = 1 << 32
 SIMHASH_BITS = 56
+_SPACE = 32  # codepoint of the shingle separator
 
 
 def shingle_set(text: str, k: int) -> list[str]:
@@ -49,9 +55,11 @@ class ShingleBlock(NamedTuple):
     are the raw polynomial lanes of each unique shingle and ``ulens`` its
     codepoint length, kept so prefixed hash families (SimHash's salted
     second fingerprint) derive by lane composition instead of a second
-    character pass."""
+    character pass.  The unique axis may contain duplicate VALUES (a
+    short doc's whole-text shingle equal to a long doc's gram) — every
+    consumer gathers per-doc segments via ``inv``, so only per-doc
+    distinctness matters, and that is exact."""
 
-    uniq: np.ndarray  # unique shingle strings (first-seen order)
     inv: np.ndarray  # flat occurrence -> unique index
     starts: np.ndarray  # per-doc segment starts into inv
     lengths: np.ndarray  # per-doc segment lengths
@@ -65,25 +73,134 @@ class ShingleBlock(NamedTuple):
 
 
 def shingle_hash_block(texts: list[str], k: int) -> ShingleBlock:
-    """Shared per-block decomposition: distinct shingles per doc, hashed
-    ONCE per *unique* shingle in the block (small vocabularies repeat
-    shingles heavily across docs).  Uniqueness comes from hash-based
-    ``pd.factorize`` (first-seen order) — ~8x cheaper than the sorted
-    ``np.unique`` it replaced, and every consumer gathers via ``inv``, so
-    the order of ``uniq`` is immaterial."""
-    sh_lists = [shingle_set(t, k) for t in texts]
-    lengths = np.array([len(s) for s in sh_lists], dtype=np.int64)
-    flat = np.array([s for lst in sh_lists for s in lst], dtype=object)
-    inv, uniq = pd.factorize(flat)
-    uniq = np.asarray(uniq, dtype=object)
-    h62, lane1, lane2 = portable_hash62_np(uniq, return_lanes=True)
-    ulens = np.fromiter((len(s) for s in uniq), dtype=np.int64, count=len(uniq))
-    starts = np.zeros(len(texts), dtype=np.int64)
+    """Shared per-block decomposition with TOKEN-level hashing: characters
+    are hashed once per *unique token* in the block, and every shingle's
+    polynomial lanes are composed from its tokens' lanes —
+
+        lane(t1 + ' ' + t2) = (lane(t1)*B + 32) * B^len(t2) + lane(t2)  (mod M)
+
+    — an exact modular identity, so the per-shingle hash62 is
+    bit-identical to hashing the joined string (pinned by
+    tests/test_hashing.py).  Per-doc distinctness is decided on exact
+    token-id tuples (equivalent to string distinctness: tokens cannot
+    contain the separator), so no hash-collision class is introduced.
+    Versus hashing each unique shingle string (rounds <= 7a), this skips
+    building ~k x the shingle characters and hashes ~vocabulary-size
+    strings instead of ~distinct-shingle-count strings.
+
+    Docs with <= k tokens contribute their whole text as the single
+    shingle (shingle_set semantics), hashed directly."""
+    tok_lists = [t.split(" ") for t in texts]
+    nt = np.array([len(l) for l in tok_lists], dtype=np.int64)
+    n = len(texts)
+    short = nt <= k
+    lengths = np.empty(n, dtype=np.int64)
+    lengths[short] = 1
+
+    # ---- long docs: factorize tokens, compose gram lanes, exact dedup
+    long_ord = np.nonzero(~short)[0]
+    if len(long_ord):
+        flat = np.array(
+            [tok for i in long_ord for tok in tok_lists[i]], dtype=object
+        )
+        tcodes, tuniq = pd.factorize(flat)
+        tcodes = np.asarray(tcodes, dtype=np.int64)
+        tuniq = np.asarray(tuniq, dtype=object)
+        _, tl1, tl2 = portable_hash62_np(tuniq, return_lanes=True)
+        tlens = np.fromiter(
+            (len(s) for s in tuniq), dtype=np.int64, count=len(tuniq)
+        )
+        pw1 = _pow_mod_vec(POLY_B, tlens, POLY_M1)
+        pw2 = _pow_mod_vec(POLY_B, tlens, POLY_M2)
+        ln = nt[long_ord]
+        tok_starts = np.cumsum(ln) - ln
+        ng = ln - k + 1  # grams per long doc (>= 1)
+        tot = int(ng.sum())
+        gdoc = np.repeat(long_ord, ng)  # original doc index per gram
+        gs = np.cumsum(ng) - ng
+        pos = np.arange(tot, dtype=np.int64) - np.repeat(gs, ng)
+        base = np.repeat(tok_starts, ng) + pos
+        idcols = [tcodes[base + j] for j in range(k)]
+
+        def compose(tl: np.ndarray, pw: np.ndarray, M: int) -> np.ndarray:
+            acc = tl[idcols[0]]
+            for j in range(1, k):
+                tj = idcols[j]
+                # acc < M < 2^31; acc*B + 32 < 2^51; acc*pw < 2^62: exact
+                acc = (acc * POLY_B + _SPACE) % M
+                acc = (acc * pw[tj] + tl[tj]) % M
+            return acc
+
+        gl1 = compose(tl1, pw1, POLY_M1)
+        gl2 = compose(tl2, pw2, POLY_M2)
+        gulen = tlens[idcols[0]].copy()
+        for j in range(1, k):
+            gulen += tlens[idcols[j]] + 1  # + the separator
+        # exact per-doc dedup on packed token-id tuples (refactorize when a
+        # pack level could overflow int64 — keeps the pack exact, never hashed)
+        V = len(tuniq)
+        code = idcols[0]
+        for j in range(1, k):
+            if (int(code.max()) + 1) * (V + 1) >= (1 << 62):
+                code = np.asarray(pd.factorize(code)[0], dtype=np.int64)
+            code = code * (V + 1) + idcols[j]
+        order = np.lexsort((code, gdoc))
+        gd_s, code_s = gdoc[order], code[order]
+        keep = np.ones(tot, dtype=bool)
+        keep[1:] = (gd_s[1:] != gd_s[:-1]) | (code_s[1:] != code_s[:-1])
+        sel = order[keep]  # first occurrence of each distinct gram per doc
+        kept_doc = gd_s[keep]
+        # block-unique axis over the kept grams
+        linv, lcode = pd.factorize(code_s[keep])
+        linv = np.asarray(linv, dtype=np.int64)
+        first_pos = np.full(len(lcode), len(linv), dtype=np.int64)
+        np.minimum.at(first_pos, linv, np.arange(len(linv)))
+        rep = sel[first_pos]  # representative gram per unique
+        u_l1, u_l2, u_ulen = gl1[rep], gl2[rep], gulen[rep]
+        # distinct-gram count per long doc
+        lengths[long_ord] = np.bincount(
+            kept_doc, minlength=n
+        )[long_ord]
+    else:
+        linv = np.empty(0, dtype=np.int64)
+        kept_doc = np.empty(0, dtype=np.int64)
+        u_l1 = u_l2 = u_ulen = np.empty(0, dtype=np.int64)
+
+    # ---- short docs: whole-text shingles, deduped among themselves
+    n_long_u = len(u_l1)
+    if short.any():
+        stexts = np.array(
+            [texts[i] for i in np.nonzero(short)[0]], dtype=object
+        )
+        sinv, suniq = pd.factorize(stexts)
+        sinv = np.asarray(sinv, dtype=np.int64)
+        suniq = np.asarray(suniq, dtype=object)
+        _, sl1, sl2 = portable_hash62_np(suniq, return_lanes=True)
+        sulen = np.fromiter(
+            (len(s) for s in suniq), dtype=np.int64, count=len(suniq)
+        )
+        lane1 = np.concatenate((u_l1, sl1))
+        lane2 = np.concatenate((u_l2, sl2))
+        ulens = np.concatenate((u_ulen, sulen))
+    else:
+        sinv = np.empty(0, dtype=np.int64)
+        lane1, lane2, ulens = u_l1, u_l2, u_ulen
+
+    # ---- merge occurrence streams in original doc order
+    starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
-    return ShingleBlock(
-        uniq, np.asarray(inv, dtype=np.int64), starts, lengths, h62,
-        lane1, lane2, ulens,
-    )
+    inv = np.empty(int(lengths.sum()), dtype=np.int64)
+    if len(kept_doc):
+        # kept grams are sorted by doc; rank within doc = running offset
+        kst = np.cumsum(lengths[long_ord]) - lengths[long_ord]
+        doc_rank = np.arange(len(kept_doc), dtype=np.int64) - np.repeat(
+            kst, lengths[long_ord]
+        )
+        inv[starts[kept_doc] + doc_rank] = linv
+    if len(sinv):
+        inv[starts[short]] = n_long_u + sinv
+    h62 = _mix_np(lane1, lane2)
+    return ShingleBlock(inv, starts, lengths, h62, lane1, lane2, ulens)
 
 
 def minhash_bands_from_block(

@@ -86,7 +86,12 @@ def test_shingle_hash_block_matches_direct_hash():
         shingle_set,
     )
 
-    texts = ["a b c d e", "a b c", "x", "", "a b c d e f g", "a b c d e"]
+    texts = [
+        "a b c d e", "a b c", "x", "", "a b c d e f g", "a b c d e",
+        # empty tokens (consecutive separators), unicode, heavy repeats,
+        # short-doc text equal to a long doc's gram
+        "a  b  c d", "é π 漢 é π 漢 a", "x y z x y z x y z", "b c d",
+    ]
     blk = shingle_hash_block(texts, 3)
     for i, t in enumerate(texts):
         seg = blk.inv[blk.starts[i] : blk.starts[i] + blk.lengths[i]]
