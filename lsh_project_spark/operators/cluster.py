@@ -93,13 +93,17 @@ def numpy_components(ea: "np.ndarray", eb: "np.ndarray", n: int):
         labels = new
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
+def _driver_union_find(
+    edges: DataFrame, pdf: "pd.DataFrame | None" = None
+) -> DataFrame:
     """One collect + vectorized numpy component labeling (see
-    numpy_components)."""
+    numpy_components).  Pass ``pdf`` when the caller already collected the
+    edge list (the fast-path decision fetch) to skip a second job."""
     import numpy as np
     import pandas as pd
 
-    pdf = edges.select("a", "b").toPandas()
+    if pdf is None:
+        pdf = edges.select("a", "b").toPandas()
     id_type = dict(edges.dtypes)["a"]
     if len(pdf) == 0:
         return edges.sparkSession.createDataFrame(
@@ -241,11 +245,14 @@ def _connected_components_impl(
 
     raw = edges.select("a", "b").filter(F.col("a") != F.col("b"))
     if driver_max_edges > 0:
-        # raw (pre-dedup) count: scan-only, no shuffle; conservative for
-        # the fast-path decision, and _driver_union_find's np.unique
-        # handles duplicate edges natively
-        if raw.count() <= driver_max_edges:
-            return _driver_union_find(raw)
+        # ONE job decides AND fetches: limit(max+1).toPandas() returns the
+        # complete raw edge list when it fits (the round-6 shape paid a
+        # separate count pass first); _driver_union_find's np.unique
+        # handles duplicate edges natively.  At max+1 rows the graph is
+        # too big — fall through to the distributed loop.
+        head = raw.limit(driver_max_edges + 1).toPandas()
+        if len(head) <= driver_max_edges:
+            return _driver_union_find(raw, pdf=head)
 
     mapping = None
     if contract:
