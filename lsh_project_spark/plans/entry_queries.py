@@ -81,8 +81,14 @@ def q_minhash_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate duplicate pairs: docs sharing >= 1 MinHash band bucket —
-    the bucket self-join (reference probe semantics, src/main.cc:369-408)."""
-    bands = minhash_band_table(_docs(spark, sf_dir), MH_CFG)
+    the bucket self-join (reference probe semantics, src/main.cc:369-408).
+    The band table is materialized once (eager executor-local checkpoint):
+    AQE does not reuse the two canonically-identical self-join exchanges,
+    so without the cut both join sides re-run the signature map stage
+    (same miss as operators/candidates.py documents)."""
+    bands = minhash_band_table(_docs(spark, sf_dir), MH_CFG).localCheckpoint(
+        eager=True
+    )
     left = bands.select("band_idx", "band_hash", F.col("doc_id").alias("a"))
     right = bands.select("band_idx", "band_hash", F.col("doc_id").alias("b"))
     return (
@@ -168,7 +174,15 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the reference's exact ground-truth scan (src/main.cc:91-113) as the
     ANN baseline.  Rank ties broken by neighbor id.  Norms are hoisted into
     pre-projected columns BEFORE the cross join (computed n+q times, not
-    n*q times — ~3x less work inside the join)."""
+    n*q times); the per-pair dot/divide runs in one numpy map stage whose
+    doubles are bit-identical to the SQL fold it replaced (sequential
+    np.add.accumulate == the left-to-right aggregate; the zip_with
+    previously allocated a 64-element array per pair, interpreted)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     e = _emb(spark, sf_dir)
     norm_of = (
         "sqrt(aggregate(transform({v}, x -> cast(x as double) * cast(x as double)), "
@@ -182,15 +196,24 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = e.select(
         "vec_id", "embedding", F.expr(norm_of.format(v="embedding")).alias("nd")
     )
-    dot = "aggregate(zip_with(qv, embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
-    scored = (
-        q.crossJoin(ed)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(f"({dot}) / (nq * nd)").alias("cos"),
-        )
+    joined = q.crossJoin(ed).filter(F.col("vec_id") != F.col("query_id"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.vstack(pdf["qv"].to_numpy()).astype(np.float64)
+            b = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dots = np.add.accumulate(a * b, axis=1)[:, -1]
+            out = pdf[["query_id"]].copy()
+            out["neighbor_id"] = pdf["vec_id"].to_numpy()
+            out["cos"] = dots / (
+                pdf["nq"].to_numpy() * pdf["nd"].to_numpy()
+            )
+            yield out
+
+    scored = joined.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
     )
     from pyspark.sql import Window
 
