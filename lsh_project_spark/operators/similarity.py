@@ -407,27 +407,31 @@ def near_dup_pairs(
         hot_bucket_threshold=hot_bucket_threshold, salt_groups=salt_groups,
         drop_stats=drop_stats,
     ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
-    dot = (
-        "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * "
-        "cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+
+    # exact-cosine verify in one numpy map stage — same bit-identical
+    # doubles as the SQL folds it replaced (sequential np.add.accumulate
+    # dot and sum-of-squares, sqrt, the same norm-product-then-divide
+    # order), so the accept SET under `>= threshold` is unchanged
+    def _accept(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.vstack(pdf["va"].to_numpy()).astype(np.float64)
+            b = np.vstack(pdf["vb"].to_numpy()).astype(np.float64)
+            dots = np.add.accumulate(a * b, axis=1)[:, -1]
+            na = np.sqrt(np.add.accumulate(a * a, axis=1)[:, -1])
+            nb = np.sqrt(np.add.accumulate(b * b, axis=1)[:, -1])
+            keep = dots / (na * nb) >= threshold
+            yield pdf[["id_a", "id_b"]][keep]
+
+    joined = cands.join(
+        slim.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+        "id_a",
+    ).join(
+        slim.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+        "id_b",
     )
-    norm = (
-        "sqrt(aggregate(transform({v}, x -> cast(x as double) * "
-        "cast(x as double)), cast(0 as double), (acc, v) -> acc + v))"
-    )
-    accepted = (
-        cands.join(
-            slim.select(F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("va")), "id_a")
-        .join(
-            slim.select(F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("vb")), "id_b")
-        .filter(F.expr(
-            f"({dot}) / (({norm.format(v='va')}) * ({norm.format(v='vb')}))"
-            f" >= {threshold!r}"
-        ))
-        .select("id_a", "id_b")
-    )
+    accepted = joined.mapInPandas(_accept, schema="id_a long, id_b long")
     if not hash_ids:
         return accepted.select(
             F.least("id_a", "id_b").alias("id_a"),
